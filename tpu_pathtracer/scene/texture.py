@@ -1,0 +1,79 @@
+"""Texture and environment-map sampling in jnp.
+
+The reference binds CUDA texture objects (src/renderkernel.cu:1021-1038):
+  * HDR envmap: clamp address mode, linear filter, normalized coords.
+  * Color texture: wrap address mode, linear filter, sRGB decode.
+On TPU textures are plain arrays; we implement bilinear filtering with the
+matching wrap/clamp semantics, and decode sRGB at load time.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..core.image import srgb_to_linear
+from ..core.vecmath import TWO_PI, PI
+
+
+def load_texture(path) -> np.ndarray:
+    """Load an LDR image file -> linear float32 [H,W,3] (sRGB decoded,
+    matching colorTexture.sRGB = true at src/renderkernel.cu:1035)."""
+    from PIL import Image
+    img = np.asarray(Image.open(path).convert("RGB"), np.float32) / 255.0
+    return srgb_to_linear(img).astype(np.float32)
+
+
+def _bilinear(tex, u, v, wrap_u, wrap_v):
+    """tex: [H,W,3]; u,v in normalized coords; CUDA-convention linear filter
+    (sample centers at texel centers: subtract 0.5 before floor)."""
+    H, W = tex.shape[0], tex.shape[1]
+    x = u * W - 0.5
+    y = v * H - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+    x0 = x0.astype(jnp.int32)
+    y0 = y0.astype(jnp.int32)
+    x1 = x0 + 1
+    y1 = y0 + 1
+    if wrap_u:
+        x0 = jnp.mod(x0, W)
+        x1 = jnp.mod(x1, W)
+    else:
+        x0 = jnp.clip(x0, 0, W - 1)
+        x1 = jnp.clip(x1, 0, W - 1)
+    if wrap_v:
+        y0 = jnp.mod(y0, H)
+        y1 = jnp.mod(y1, H)
+    else:
+        y0 = jnp.clip(y0, 0, H - 1)
+        y1 = jnp.clip(y1, 0, H - 1)
+    flat = tex.reshape(-1, tex.shape[-1])
+    c00 = jnp.take(flat, y0 * W + x0, axis=0)
+    c01 = jnp.take(flat, y0 * W + x1, axis=0)
+    c10 = jnp.take(flat, y1 * W + x0, axis=0)
+    c11 = jnp.take(flat, y1 * W + x1, axis=0)
+    fx = fx[..., None]
+    fy = fy[..., None]
+    return (c00 * (1 - fx) * (1 - fy) + c01 * fx * (1 - fy)
+            + c10 * (1 - fx) * fy + c11 * fx * fy)
+
+
+def sample_texture(tex, u, v):
+    """Color texture fetch: wrap/wrap bilinear (src/renderkernel.cu:1030-1038)."""
+    return _bilinear(tex, jnp.mod(u, 1.0), jnp.mod(v, 1.0), wrap_u=True, wrap_v=True)
+
+
+def sample_envmap(env, raydir, rotation):
+    """HDR environment lookup; mirrors envLight (src/renderkernel.cu:422-437):
+    lat-long mapping with Y up, u = atan2(x, z)/2pi + rotation (mod 1),
+    v = acos(y)/pi, clamp address mode, bilinear filter."""
+    x = raydir[..., 0]
+    y = raydir[..., 1]
+    z = raydir[..., 2]
+    longlat_x = jnp.arctan2(x, z)
+    longlat_x = jnp.where(longlat_x < 0.0, longlat_x + TWO_PI, longlat_x)
+    u = jnp.mod(longlat_x / TWO_PI + rotation, 1.0)
+    v = jnp.arccos(jnp.clip(y, -1.0, 1.0)) / PI
+    return _bilinear(env, u, v, wrap_u=False, wrap_v=False)
