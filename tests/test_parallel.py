@@ -1,0 +1,50 @@
+import numpy as np
+import jax
+import pytest
+
+from tpu_pathtracer.scene import procedural, MatDesc
+from tpu_pathtracer.scene.config import MAT_DIFF, MAT_GLASS, MAT_REFL
+from tpu_pathtracer.scene.demo import default_camera
+from tpu_pathtracer.accel import flatten_mesh_bvh
+from tpu_pathtracer.tracer import Renderer, RenderSettings
+from tpu_pathtracer.parallel import ShardedRenderer, make_mesh
+
+
+def _cpu_devices(n):
+    try:
+        devs = jax.devices("cpu")
+    except RuntimeError:
+        devs = [d for d in jax.devices() if d.platform == "cpu"]
+    if len(devs) < n:
+        pytest.skip("need %d cpu devices" % n)
+    return devs[:n]
+
+
+def test_sharded_render_matches_single_device():
+    mesh = procedural.make_test_scene()
+    fb = flatten_mesh_bvh(mesh)
+    mats = [MatDesc(refltype=MAT_DIFF), MatDesc(refltype=MAT_DIFF),
+            MatDesc(refltype=MAT_GLASS), MatDesc(refltype=MAT_REFL)]
+    env = procedural.make_sky_envmap(64, 32)
+    W = H = 32
+
+    devs = _cpu_devices(8)
+    # single CPU device reference
+    with jax.default_device(devs[0]):
+        r1 = Renderer(fb, mats, envmap=env, width=W, height=H,
+                      settings=RenderSettings(use_envmap=True, use_texture=False))
+        rc = default_camera(W, H).build_render_camera()
+        a1 = r1.zeros_accum()
+        a1 = r1.render_frame(a1, rc, 1)
+        a1 = np.asarray(a1)
+
+    # 8-way sharded
+    r2 = Renderer(fb, mats, envmap=env, width=W, height=H,
+                  settings=RenderSettings(use_envmap=True, use_texture=False))
+    sr = ShardedRenderer(r2, mesh=make_mesh(devs))
+    a2 = sr.zeros_accum()
+    a2 = sr.render_frame(a2, rc, 1)
+    a2 = np.asarray(a2)[:W * H]
+
+    # identical lanes, identical RNG -> bitwise-equal radiance
+    np.testing.assert_allclose(a1, a2, atol=1e-5)

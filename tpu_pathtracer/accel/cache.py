@@ -14,7 +14,7 @@ import numpy as np
 
 from .flatten import FlatBVH, flatten_mesh_bvh
 
-CACHE_VERSION = 2
+CACHE_VERSION = 3
 
 
 def _cache_key(mesh, platform, params):
@@ -41,12 +41,13 @@ def load_or_build(mesh, cache_dir=None, platform=None, params=None,
             prims=z["prims"], meta=z["meta"], num_nodes=int(z["num_nodes"]),
             tri_pos=z["tri_pos"], tri_uv=z["tri_uv"], tri_nrm=z["tri_nrm"],
             tri_mat=z["tri_mat"], tri_orig=z["tri_orig"],
-            root_lo=z["root_lo"], root_hi=z["root_hi"])
+            root_lo=z["root_lo"], root_hi=z["root_hi"],
+            max_depth=int(z["max_depth"]))
     fb = flatten_mesh_bvh(mesh, platform, params)
     np.savez_compressed(
-        path, num_nodes=fb.num_nodes,
+        path, num_nodes=fb.num_nodes, max_depth=fb.max_depth,
         **{f.name: getattr(fb, f.name) for f in dataclasses.fields(fb)
-           if f.name != "num_nodes"})
+           if f.name not in ("num_nodes", "max_depth")})
     if verbose:
         print("BVH cache write: %s" % path)
     return fb

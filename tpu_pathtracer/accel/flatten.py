@@ -96,6 +96,7 @@ class FlatBVH:
     tri_orig: np.ndarray   # [Kt] i32
     root_lo: np.ndarray
     root_hi: np.ndarray
+    max_depth: int = 64    # inner-node depth; bounds the traversal stack
 
     @property
     def num_tri_slots(self):
@@ -190,6 +191,7 @@ def flatten_bvh(root: BVHNode, tri_index_array, tri_verts, tri_uv, tri_nrm,
         tri_pos=tri_pos, tri_uv=uv, tri_nrm=nrm, tri_mat=mat, tri_orig=orig,
         root_lo=np.asarray(root.lo, np.float32),
         root_hi=np.asarray(root.hi, np.float32),
+        max_depth=root.max_depth(),
     )
 
 

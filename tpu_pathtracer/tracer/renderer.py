@@ -1,0 +1,215 @@
+"""Progressive renderer: camera ray generation + frame accumulation.
+
+The analog of the reference frame path pathTracingKernel + disp()
+(src/renderkernel.cu:862-981, src/main.cpp:154-247): each call renders one
+sample per pixel (NUM_SAMPLE=1) and adds it into a persistent accumulation
+buffer; display divides by frame count and gamma-encodes. Scene data crosses
+to the device once at construction; per frame only the packed camera vector
+and the frame index cross the boundary.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core.rng import RaySampler, wang_hash
+from ..core.vecmath import TWO_PI, PI, normalize
+from ..scene.config import (
+    SceneDesc, materials_to_arrays, MAT_SUBSURFACE,
+)
+from ..scene.camera import RenderCamera
+from .wavefront import RenderSettings, make_integrator
+
+
+def generate_camera_rays(cam_vec, rng, pixel_x, pixel_y):
+    """Primary ray generation: AA jitter + thin-lens DOF, exactly the
+    pathTracingKernel sequence (src/renderkernel.cu:895-954).
+
+    cam_vec: flat [16] f32 (see RenderCamera.as_array).
+    pixel_x, pixel_y: [N] pixel coordinates (pixel_y bottom-up like the
+    reference's `scrheight - y - 1`).
+    Returns (rng, orig [N,3], dir [N,3]).
+    """
+    res_x, res_y = cam_vec[0], cam_vec[1]
+    cam_pos = cam_vec[2:5]
+    cam_view = cam_vec[5:8]
+    cam_up = cam_vec[8:11]
+    fov_x, fov_y = cam_vec[11], cam_vec[12]
+    aperture = cam_vec[13]
+    focal = cam_vec[14]
+
+    view = cam_view / jnp.linalg.norm(cam_view)
+    up = cam_up / jnp.linalg.norm(cam_up)
+    horiz_axis = jnp.cross(view, up)
+    horiz_axis = horiz_axis / jnp.linalg.norm(horiz_axis)
+    vert_axis = jnp.cross(horiz_axis, view)
+    vert_axis = vert_axis / jnp.linalg.norm(vert_axis)
+
+    middle = cam_pos + view
+    horizontal = horiz_axis * jnp.tan(fov_x * 0.5 * (PI / 180.0))
+    vertical = vert_axis * jnp.tan(-fov_y * 0.5 * (PI / 180.0))
+
+    rng, (jx, jy, r1, r2) = RaySampler.next_n(rng, 4)
+    sx = (jx - 0.5 + pixel_x) / (res_x - 1.0)
+    sy = (jy - 0.5 + pixel_y) / (res_y - 1.0)
+
+    point_on_plane = middle[None, :] \
+        + (2.0 * sx - 1.0)[:, None] * horizontal[None, :] \
+        + (2.0 * sy - 1.0)[:, None] * vertical[None, :]
+    point_on_image = cam_pos[None, :] + (point_on_plane - cam_pos[None, :]) * focal
+
+    angle = TWO_PI * r1
+    dist = aperture * jnp.sqrt(r2)
+    ap_x = jnp.cos(angle) * dist
+    ap_y = jnp.sin(angle) * dist
+    aperture_point = cam_pos[None, :] + horiz_axis[None, :] * ap_x[:, None] \
+        + vert_axis[None, :] * ap_y[:, None]
+    aperture_point = jnp.where(aperture > 1e-5, aperture_point,
+                               jnp.broadcast_to(cam_pos, aperture_point.shape))
+
+    raydir = normalize(point_on_image - aperture_point)
+    return rng, aperture_point, raydir
+
+
+class Renderer:
+    """Holds device-resident scene arrays and the jitted frame function.
+
+    Usage:
+        r = Renderer(flat_bvh, materials, envmap=..., texture=..., width=W,
+                     height=H)
+        accum = r.zeros_accum()
+        for frame in range(1, spp + 1):
+            accum = r.render_frame(accum, camera, frame)
+        img = tonemap(np.asarray(accum).reshape(H, W, 3), spp)
+    """
+
+    def __init__(self, flat_bvh, materials, envmap=None, texture=None,
+                 width=512, height=512, settings: RenderSettings = None,
+                 lane_chunk=None, env_const=(0.0, 0.0, 0.0)):
+        self.width = int(width)
+        self.height = int(height)
+        mat_arrays = materials_to_arrays(materials)
+        has_bssrdf = bool(np.any(mat_arrays["refltype"] == MAT_SUBSURFACE))
+        has_media = bool(np.any(mat_arrays["has_medium"] != 0))
+        if settings is None:
+            settings = RenderSettings(
+                use_envmap=envmap is not None,
+                use_texture=texture is not None,
+                has_media=has_media,
+                has_bssrdf=has_bssrdf,
+            )
+        self.settings = settings
+
+        scene = {
+            "prims": jnp.asarray(flat_bvh.prims),
+            "meta": jnp.asarray(flat_bvh.meta),
+            "num_nodes": flat_bvh.num_nodes,
+            "tri_pos": jnp.asarray(flat_bvh.tri_pos),
+            "tri_uv": jnp.asarray(flat_bvh.tri_uv),
+            "tri_nrm": jnp.asarray(flat_bvh.tri_nrm),
+            "tri_mat": jnp.asarray(flat_bvh.tri_mat),
+            "env_const": jnp.asarray(env_const, jnp.float32),
+        }
+        for k, v in mat_arrays.items():
+            scene["mat_" + k] = jnp.asarray(v)
+        if envmap is not None:
+            scene["envmap"] = jnp.asarray(envmap, jnp.float32)
+        if texture is not None:
+            scene["texture"] = jnp.asarray(texture, jnp.float32)
+        self.scene = scene
+
+        n_pixels = self.width * self.height
+        self.lane_chunk = int(lane_chunk or min(n_pixels, 1 << 18))
+        self._integrate = make_integrator(settings)
+        self._frame_fn = jax.jit(self._render_chunk)
+
+    # ------------------------------------------------------------------
+    def _render_chunk(self, scene, cam_vec, frame_hash, lane0, accum_chunk):
+        """Render 1 spp for lanes [lane0, lane0 + chunk) and accumulate."""
+        n = accum_chunk.shape[0]
+        lane_ids = lane0 + jnp.arange(n, dtype=jnp.uint32)
+        rng = RaySampler.init(frame_hash, lane_ids)
+        W = self.width
+        H = self.height
+        lanes32 = lane_ids.astype(jnp.int32)
+        row = lanes32 // W
+        col = lanes32 % W
+        pixel_x = col.astype(jnp.float32)
+        # buffer row r holds pixely = r (the reference's i = (h-y-1)*w + x
+        # with pixely = h-y-1, src/renderkernel.cu:887-889); pixely 0 is the
+        # TOP of the image because `vertical` is negated (:906)
+        pixel_y = row.astype(jnp.float32)
+        rng, orig, raydir = generate_camera_rays(cam_vec, rng, pixel_x, pixel_y)
+        rng, radiance = self._integrate(scene, rng, orig, raydir,
+                                        cam_vec[15])
+        return accum_chunk + radiance
+
+    # ------------------------------------------------------------------
+    def zeros_accum(self):
+        return jnp.zeros((self.width * self.height, 3), jnp.float32)
+
+    def render_frame(self, accum, camera: RenderCamera, frame_number: int):
+        """One progressive sample per pixel; frame_number starts at 1
+        (the reference increments before rendering, src/main.cpp:167)."""
+        cam_vec = jnp.asarray(camera.as_array())
+        fh = wang_hash(jnp.uint32(frame_number))
+        n = accum.shape[0]
+        chunk = self.lane_chunk
+        if n <= chunk:
+            return self._frame_fn(self.scene, cam_vec, fh, jnp.uint32(0), accum)
+        out = []
+        for lane0 in range(0, n, chunk):
+            sl = accum[lane0:lane0 + chunk]
+            pad = chunk - sl.shape[0]
+            if pad:
+                sl = jnp.pad(sl, ((0, pad), (0, 0)))
+            res = self._frame_fn(self.scene, cam_vec, fh, jnp.uint32(lane0), sl)
+            out.append(res[:chunk - pad] if pad else res)
+        return jnp.concatenate(out, axis=0)
+
+    def accum_to_image(self, accum, frame_count):
+        from ..core.image import tonemap
+        return tonemap(np.asarray(accum).reshape(self.height, self.width, 3),
+                       frame_count)
+
+
+def renderer_from_scene_desc(desc: SceneDesc, base_dir="", cache_dir=None):
+    """Assemble a Renderer from a SceneDesc the way main() does
+    (src/main.cpp:672-760): load mesh, build/cache BVH, load HDR + texture."""
+    import os
+    from ..scene.objloader import load_obj
+    from ..scene.plyloader import load_ply
+    from ..scene.hdr import read_hdr
+    from ..scene.texture import load_texture
+    from ..accel.cache import load_or_build
+
+    path = os.path.join(base_dir, desc.scenefile)
+    if path.endswith(".obj"):
+        mesh = load_obj(path, desc.mat_id_map)
+    elif path.endswith(".ply"):
+        mesh = load_ply(path)
+    else:
+        raise ValueError("unsupported scene file %r" % desc.scenefile)
+
+    fb = load_or_build(mesh, cache_dir=cache_dir)
+    envmap = None
+    if desc.HDRmapname and desc.use_envmap:
+        envmap = read_hdr(os.path.join(base_dir, desc.HDRmapname))
+    texture = None
+    if desc.textureFile:
+        texture = load_texture(os.path.join(base_dir, desc.textureFile))
+    settings = RenderSettings(
+        bounce_min=desc.bounce_min,
+        bounce_max=desc.bounce_max,
+        use_envmap=envmap is not None,
+        use_texture=texture is not None,
+        has_media=any(m.medium is not None for m in desc.materials),
+        has_bssrdf=any(m.refltype == MAT_SUBSURFACE for m in desc.materials),
+        use_distant_light=desc.use_distant_light,
+    )
+    return Renderer(fb, desc.materials, envmap=envmap, texture=texture,
+                    width=desc.width, height=desc.height, settings=settings)

@@ -1,0 +1,323 @@
+"""The wavefront path integrator.
+
+TPU re-architecture of the reference's per-pixel megakernel
+(renderKernel, src/renderkernel.cu:472-855): the per-thread locals become SoA
+columns over a lane axis, the bounce loop becomes a lax.while_loop whose body
+is one wavefront iteration (intersect -> classify -> shade -> respawn), and
+the material switch (src/renderkernel.cu:603-848) becomes branch-free: every
+BSDF is evaluated for every lane (cheap VPU math) and the result selected by
+material id — the heavy, gather-bound traversal runs exactly once per bounce.
+
+Adaptive bounce budget matches the reference: start LIGHT_BOUNCE_NUM_MIN=2,
+specular events extend by 1, hard cap LIGHT_BOUNCE_NUM_MAX=16
+(src/renderkernel.cu:50-52,512,525,641,...).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..core.vecmath import (
+    RAY_MIN, RAY_MAX, dot, dotk, normalize, reflect, barycentric,
+)
+from ..core.rng import RaySampler
+from ..scene.config import (
+    MAT_EMIT, MAT_DIFF, MAT_GLASS, MAT_REFL, MAT_DIFF_REFL, MAT_FRESNEL,
+    MAT_NULL, MAT_SUBSURFACE,
+)
+from ..scene.texture import sample_texture, sample_envmap
+from ..materials.bsdf import (
+    lambertian_sample, specular_glass_sample, ggx_reflection_sample,
+    rough_glass_sample, microfacet_interface_sample, fresnel_blend_sample,
+    henyey_greenstein_sample,
+)
+from .traverse import intersect_scene, woop_geometric_normal
+from .medium import medium_interaction
+from .bssrdf_shade import bssrdf_scatter
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderSettings:
+    """Static (trace-time) configuration; the analog of the reference's
+    compile-time macros (src/renderkernel.cu:45-54)."""
+    bounce_min: int = 2
+    bounce_max: int = 16
+    use_envmap: bool = True
+    use_texture: bool = True
+    has_media: bool = False
+    has_bssrdf: bool = False
+    use_distant_light: bool = False
+    stack_depth: int = 64
+    bssrdf_probes: int = 3   # maxLoopNum, src/renderkernel.cu:727
+
+
+def fetch_attributes(scene, hit_slot, hitpoint):
+    """Barycentric-interpolated uv + smooth normal at the hit
+    (textureFetching, src/renderkernel.cu:440-466)."""
+    safe = jnp.maximum(hit_slot, 0)
+    pos = jnp.take(scene["tri_pos"], safe, axis=0)     # [N,9]
+    uvs = jnp.take(scene["tri_uv"], safe, axis=0)      # [N,6]
+    nrm = jnp.take(scene["tri_nrm"], safe, axis=0)     # [N,9]
+    p0, p1, p2 = pos[:, 0:3], pos[:, 3:6], pos[:, 6:9]
+    u, v, w = barycentric(hitpoint, p0, p1, p2)
+    hit_uv = (u[:, None] * uvs[:, 0:2] + v[:, None] * uvs[:, 2:4]
+              + w[:, None] * uvs[:, 4:6])
+    smooth_n = (u[:, None] * nrm[:, 0:3] + v[:, None] * nrm[:, 3:6]
+                + w[:, None] * nrm[:, 6:9])
+    return hit_uv, smooth_n
+
+
+def gather_material(scene, mat_id):
+    safe = jnp.maximum(mat_id, 0)
+    m = {}
+    for k in ("refltype", "alphax", "alphay", "kd", "ks", "etaT",
+              "useNormal", "useTexture", "med_g", "has_medium"):
+        m[k] = jnp.take(scene["mat_" + k], safe, axis=0)
+    for k in ("objcol", "emit", "F0", "tangent", "mfp",
+              "med_sigma_s", "med_sigma_a"):
+        m[k] = jnp.take(scene["mat_" + k], safe, axis=0)
+    return m
+
+
+def env_radiance(scene, settings: RenderSettings, raydir, env_rotation):
+    if settings.use_envmap:
+        return sample_envmap(scene["envmap"], raydir, env_rotation)
+    return jnp.broadcast_to(scene["env_const"], raydir.shape)
+
+
+def shade(scene, settings, rng, raydir, n, nl, into, mat, objcol):
+    """Evaluate all material branches and select by refltype.
+
+    Returns (rng, next_dir, mask_mul [N,3], offset_steps [N] — the multiple of
+    RAY_MIN*nl added to the hitpoint, terminate [N], bounce_inc [N],
+    refract_glass [N] — lanes that refracted through a medium interface)."""
+    N = raydir.shape[0]
+    rng, (u1, u2, u3, u4, u5, u6) = RaySampler.next_n(rng, 6)
+    refl_t = mat["refltype"]
+    one3 = jnp.ones((N, 3), jnp.float32)
+
+    # --- MAT_DIFF (src/renderkernel.cu:604-639) ---
+    d_dir = lambertian_sample(u1, u2, nl)
+    d_mul = mat["kd"][:, None] * objcol
+    # --- MAT_REFL (:640-655); mirror offsets twice (quirk kept) ---
+    mirror = mat["alphax"] == 0.0
+    mir_dir = normalize(reflect(raydir, n))
+    g_dir, g_beta = ggx_reflection_sample(
+        u1, u2, raydir, nl, mat["tangent"], mat["F0"],
+        mat["alphax"], mat["alphay"])
+    r_dir = jnp.where(mirror[:, None], mir_dir, g_dir)
+    r_mul = jnp.where(mirror[:, None],
+                      mat["ks"][:, None] * objcol,
+                      mat["ks"][:, None] * g_beta * objcol)
+    r_off = jnp.where(mirror, 2.0, 1.0)
+    # --- MAT_DIFF_REFL (:656-669) ---
+    dr_spec = u5 < mat["ks"] / jnp.maximum(mat["ks"] + mat["kd"], 1e-7)
+    dr_dir = jnp.where(dr_spec[:, None], g_dir, d_dir)
+    dr_mul = jnp.where(dr_spec[:, None], g_beta, objcol)
+    # --- MAT_FRESNEL (:670-675) ---
+    f_dir, f_beta = fresnel_blend_sample(
+        u1, u2, u3, raydir, nl, mat["kd"][:, None] * objcol, mat["F0"],
+        mat["alphax"])
+    # --- MAT_GLASS (:676-694) ---
+    sg_dir, sg_refl = specular_glass_sample(u1, into, raydir, nl, mat["etaT"])
+    rg_dir, rg_beta, rg_refl = rough_glass_sample(
+        u1, u2, into, raydir, nl, mat["etaT"], mat["alphax"])
+    smooth = mat["alphax"] == 0.0
+    gl_refl = jnp.where(smooth, sg_refl, rg_refl)
+    gl_dir = jnp.where(smooth[:, None], sg_dir, rg_dir)
+    eta2 = mat["etaT"] * mat["etaT"]
+    rg_mul = rg_beta[:, None] * objcol \
+        * jnp.where((~rg_refl & ~into)[:, None], eta2[:, None], 1.0)
+    gl_mul = jnp.where(smooth[:, None], one3, rg_mul)
+    gl_off = jnp.where(gl_refl, 1.0, -1.0)
+    # --- MAT_SUBSURFACE entry interface (:698-707) ---
+    ss_m, ss_rdir, ss_beta, ss_refl = microfacet_interface_sample(
+        u1, u2, into, raydir, nl, mat["etaT"], mat["alphax"])
+    ss_refl_mul = ss_beta[:, None] * mat["ks"][:, None] * objcol
+
+    # select by material id
+    def sel(mat_const, val, default):
+        return jnp.where((refl_t == mat_const)[:, None] if val.ndim == 2
+                         else (refl_t == mat_const), val, default)
+
+    next_dir = d_dir
+    next_dir = jnp.where((refl_t == MAT_REFL)[:, None], r_dir, next_dir)
+    next_dir = jnp.where((refl_t == MAT_DIFF_REFL)[:, None], dr_dir, next_dir)
+    next_dir = jnp.where((refl_t == MAT_FRESNEL)[:, None], f_dir, next_dir)
+    next_dir = jnp.where((refl_t == MAT_GLASS)[:, None], gl_dir, next_dir)
+    next_dir = jnp.where((refl_t == MAT_SUBSURFACE)[:, None], ss_rdir, next_dir)
+    next_dir = jnp.where((refl_t == MAT_NULL)[:, None], raydir, next_dir)
+
+    mask_mul = d_mul
+    mask_mul = jnp.where((refl_t == MAT_REFL)[:, None], r_mul, mask_mul)
+    mask_mul = jnp.where((refl_t == MAT_DIFF_REFL)[:, None], dr_mul, mask_mul)
+    mask_mul = jnp.where((refl_t == MAT_FRESNEL)[:, None], f_beta, mask_mul)
+    mask_mul = jnp.where((refl_t == MAT_GLASS)[:, None], gl_mul, mask_mul)
+    mask_mul = jnp.where((refl_t == MAT_SUBSURFACE)[:, None], ss_refl_mul, mask_mul)
+    mask_mul = jnp.where((refl_t == MAT_NULL)[:, None], one3, mask_mul)
+
+    offset = jnp.ones((N,), jnp.float32)
+    offset = jnp.where(refl_t == MAT_REFL, r_off, offset)
+    offset = jnp.where(refl_t == MAT_DIFF_REFL, 0.0, offset)
+    offset = jnp.where(refl_t == MAT_FRESNEL, 0.0, offset)
+    offset = jnp.where(refl_t == MAT_GLASS, gl_off, offset)
+    offset = jnp.where(refl_t == MAT_SUBSURFACE, 1.0, offset)
+    offset = jnp.where(refl_t == MAT_NULL, -1.0, offset)
+
+    terminate = refl_t == MAT_EMIT
+
+    bounce_inc = jnp.zeros((N,), jnp.int32)
+    is_specular_event = (
+        (refl_t == MAT_REFL)
+        | ((refl_t == MAT_DIFF_REFL) & dr_spec)
+        | (refl_t == MAT_FRESNEL)
+        | (refl_t == MAT_GLASS)
+        | ((refl_t == MAT_SUBSURFACE) & ss_refl))
+    bounce_inc = is_specular_event.astype(jnp.int32)
+
+    # lanes entering a refractive interface (for medium tracking)
+    glass_refract = (refl_t == MAT_GLASS) & ~gl_refl
+    ss_refract = (refl_t == MAT_SUBSURFACE) & ~ss_refl
+
+    aux = {
+        "glass_refract": glass_refract,
+        "ss_refract": ss_refract,
+        "ss_normal": ss_m,
+        "u": (u1, u2, u3, u4, u5, u6),
+    }
+    return rng, next_dir, mask_mul, offset, terminate, bounce_inc, aux
+
+
+def make_integrator(settings: RenderSettings):
+    """Build the jit-able integrator body closed over static settings."""
+
+    def integrate(scene, rng, orig, raydir, cam_env_rotation):
+        """Trace paths to completion. orig/raydir: [N,3] primary rays.
+        Returns (rng, radiance [N,3])."""
+        N = orig.shape[0]
+        mask = jnp.ones((N, 3), jnp.float32)
+        accum = jnp.zeros((N, 3), jnp.float32)
+        active = jnp.ones((N,), bool)
+        light_bounce_num = jnp.full((N,), settings.bounce_min, jnp.int32)
+        bounce = jnp.int32(0)
+        # medium state: material id of the medium the ray is inside (-1 none)
+        medium_id = jnp.full((N,), -1, jnp.int32)
+
+        def cond(st):
+            return jnp.any(st["active"]) & (st["bounce"] < settings.bounce_max)
+
+        def body(st):
+            rng = st["rng"]
+            orig = st["orig"]
+            raydir = st["raydir"]
+            mask = st["mask"]
+            accum = st["accum"]
+            active = st["active"]
+            lbn = st["lbn"]
+            medium_id = st["medium_id"]
+
+            hit_slot, hit_t = intersect_scene(
+                scene["prims"], scene["meta"], scene["num_nodes"],
+                orig, raydir, RAY_MIN, RAY_MAX,
+                anyhit=False, stack_depth=settings.stack_depth,
+                active=active)
+
+            # ---------- participating media (wired-in HomogeneousMedium,
+            # src/reflection.cuh:152-197) ----------
+            if settings.has_media:
+                rng, orig, raydir, mask, sampled_medium = medium_interaction(
+                    scene, rng, orig, raydir, mask, hit_t, medium_id, active)
+            else:
+                sampled_medium = jnp.zeros((N,), bool)
+
+            surf = active & ~sampled_medium
+
+            # ---------- environment miss (src/renderkernel.cu:553-557) -----
+            miss = surf & (hit_t > 1e10)
+            env = env_radiance(scene, settings, raydir, cam_env_rotation)
+            accum = accum + jnp.where(miss[:, None], mask * env, 0.0)
+            active = active & ~miss
+            surf = surf & ~miss
+
+            # ---------- surface interaction ----------
+            hitpoint = orig + raydir * hit_t[:, None]
+            mat_id = jnp.take(scene["tri_mat"], jnp.maximum(hit_slot, 0))
+            mat = gather_material(scene, mat_id)
+
+            hit_uv, smooth_n = fetch_attributes(scene, hit_slot, hitpoint)
+            tri_n = woop_geometric_normal(
+                scene["prims"], scene["num_nodes"], hit_slot)
+            use_sn = mat["useNormal"] != 0
+            n = normalize(jnp.where(use_sn[:, None], smooth_n, tri_n))
+
+            objcol = mat["objcol"]
+            if settings.use_texture:
+                tex = sample_texture(scene["texture"], hit_uv[:, 0], hit_uv[:, 1])
+                objcol = jnp.where((mat["useTexture"] != 0)[:, None], tex, objcol)
+
+            into = dot(n, raydir) < 0.0
+            nl = jnp.where(into[:, None], n, -n)
+
+            # emission (src/renderkernel.cu:600)
+            accum = accum + jnp.where(surf[:, None], mask * mat["emit"], 0.0)
+
+            rng, next_dir, mask_mul, offset, term, binc, aux = shade(
+                scene, settings, rng, raydir, n, nl, into, mat, objcol)
+
+            # ---------- BSSRDF probe machinery ----------
+            if settings.has_bssrdf:
+                ss_lanes = surf & aux["ss_refract"]
+                rng, bs_orig, bs_dir, bs_mul, bs_ok = bssrdf_scatter(
+                    scene, settings, rng, hitpoint, aux["ss_normal"], mat,
+                    mat_id, objcol, ss_lanes)
+                # lanes whose probe found a surface continue from there;
+                # failed probes fall back to the entry reflection branch with
+                # beta*ks*objcol (src/renderkernel.cu:785-789) — that is what
+                # shade() already produced in mask_mul for ss lanes.
+                use_bs = ss_lanes & bs_ok
+            else:
+                use_bs = jnp.zeros((N,), bool)
+                bs_orig = hitpoint
+                bs_dir = next_dir
+                bs_mul = mask_mul
+
+            new_orig = hitpoint + nl * (offset * RAY_MIN)[:, None]
+            new_orig = jnp.where(use_bs[:, None], bs_orig, new_orig)
+            new_dir = jnp.where(use_bs[:, None], bs_dir, next_dir)
+            new_mul = jnp.where(use_bs[:, None], bs_mul, mask_mul)
+
+            mask = jnp.where(surf[:, None], mask * new_mul, mask)
+            orig = jnp.where(surf[:, None], new_orig, orig)
+            raydir = jnp.where(surf[:, None], new_dir, raydir)
+            lbn = jnp.where(surf, jnp.minimum(
+                lbn + binc, settings.bounce_max), lbn)
+            active = active & ~(surf & term)
+
+            # medium tracking: entering/leaving refractive interfaces
+            if settings.has_media:
+                entered = surf & aux["glass_refract"] & into \
+                    & (mat["has_medium"] != 0)
+                left = surf & aux["glass_refract"] & ~into
+                medium_id = jnp.where(entered, mat_id, medium_id)
+                medium_id = jnp.where(left, -1, medium_id)
+
+            bounce = st["bounce"] + 1
+            active = active & (bounce < lbn)
+            return {
+                "rng": rng, "orig": orig, "raydir": raydir, "mask": mask,
+                "accum": accum, "active": active, "lbn": lbn,
+                "bounce": bounce, "medium_id": medium_id,
+            }
+
+        st = {
+            "rng": rng, "orig": orig, "raydir": raydir, "mask": mask,
+            "accum": accum, "active": active, "lbn": light_bounce_num,
+            "bounce": bounce, "medium_id": medium_id,
+        }
+        st = jax.lax.while_loop(cond, body, st)
+        return st["rng"], st["accum"]
+
+    return integrate
