@@ -78,8 +78,4 @@ class ShardedRenderer:
         return self._frame_fn(self.scene, cam_vec, fh, accum)
 
     def accum_to_image(self, accum, frame_count):
-        from ..core.image import tonemap
-        n = self.base.width * self.base.height
-        a = np.asarray(accum)[:n]
-        return tonemap(a.reshape(self.base.height, self.base.width, 3),
-                       frame_count)
+        return self.base.accum_to_image(accum, frame_count)

@@ -65,6 +65,71 @@ def sample_texture(tex, u, v):
     return _bilinear(tex, jnp.mod(u, 1.0), jnp.mod(v, 1.0), wrap_u=True, wrap_v=True)
 
 
+def make_quad_texture(tex, wrap_u, wrap_v):
+    """Precompute the 2x2 bilinear footprint per texel: quad[y,x] =
+    [t(y,x), t(y,x+1), t(y+1,x), t(y+1,x+1)] with wrap/clamp applied at
+    build time. A bilinear fetch then costs ONE 12-float row gather instead
+    of four 3-float gathers — gathers inside the TPU bounce loop are the
+    expensive primitive, so this is a 4x cut of the texture cost."""
+    import numpy as np
+    t = np.asarray(tex, np.float32)
+    H, W, _ = t.shape
+    if wrap_u:
+        xn = np.roll(t, -1, axis=1)
+    else:
+        xn = np.concatenate([t[:, 1:], t[:, -1:]], axis=1)
+    if wrap_v:
+        yn = np.roll(t, -1, axis=0)
+        yxn = np.roll(xn, -1, axis=0)
+    else:
+        yn = np.concatenate([t[1:], t[-1:]], axis=0)
+        yxn = np.concatenate([xn[1:], xn[-1:]], axis=0)
+    quad = np.concatenate([t, xn, yn, yxn], axis=-1)  # (H,W,12)
+    return quad.reshape(H * W, 12)
+
+
+def _bilinear_quad(quad, H, W, u, v, wrap_u, wrap_v):
+    """Bilinear sample from a quad texture (single gather)."""
+    x = u * W - 0.5
+    y = v * H - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    x0 = x0.astype(jnp.int32)
+    y0 = y0.astype(jnp.int32)
+    if wrap_u:
+        x0 = jnp.mod(x0, W)
+    else:
+        x0 = jnp.clip(x0, 0, W - 1)
+    if wrap_v:
+        y0 = jnp.mod(y0, H)
+    else:
+        y0 = jnp.clip(y0, 0, H - 1)
+    q = jnp.take(quad, y0 * W + x0, axis=0)           # [...,12]
+    return (q[..., 0:3] * (1 - fx) * (1 - fy) + q[..., 3:6] * fx * (1 - fy)
+            + q[..., 6:9] * (1 - fx) * fy + q[..., 9:12] * fx * fy)
+
+
+def sample_texture_quad(quad, H, W, u, v):
+    """Color texture fetch via quad rows: wrap/wrap bilinear."""
+    return _bilinear_quad(quad, H, W, jnp.mod(u, 1.0), jnp.mod(v, 1.0),
+                          wrap_u=True, wrap_v=True)
+
+
+def sample_envmap_quad(quad, H, W, raydir, rotation):
+    """Environment lookup via quad rows (envLight mapping,
+    src/renderkernel.cu:422-437; clamp addressing)."""
+    x = raydir[..., 0]
+    y = raydir[..., 1]
+    z = raydir[..., 2]
+    longlat_x = jnp.arctan2(x, z)
+    longlat_x = jnp.where(longlat_x < 0.0, longlat_x + TWO_PI, longlat_x)
+    u = jnp.mod(longlat_x / TWO_PI + rotation, 1.0)
+    v = jnp.arccos(jnp.clip(y, -1.0, 1.0)) / PI
+    return _bilinear_quad(quad, H, W, u, v, wrap_u=False, wrap_v=False)
+
+
 def sample_envmap(env, raydir, rotation):
     """HDR environment lookup; mirrors envLight (src/renderkernel.cu:422-437):
     lat-long mapping with Y up, u = atan2(x, z)/2pi + rotation (mod 1),

@@ -157,10 +157,9 @@ def bssrdf_scatter(scene, settings, rng, hitpoint, normal2, mat, mat_id,
         sampled_radius = jnp.where(need_new, s_rad, sampled_radius)
 
         # ---- probe traversal (masked) ----
-        slot, dist = intersect_scene(
-            scene["prims"], scene["meta"], scene["num_nodes"],
-            probe_orig, probe_dir, RAY_MIN, RAY_MAX,
-            anyhit=False, stack_depth=settings.stack_depth, active=lanes)
+        from .wavefront import trace_rays
+        slot, dist = trace_rays(scene, settings, probe_orig, probe_dir,
+                                RAY_MIN, RAY_MAX, anyhit=False, active=lanes)
 
         out_of_len = probe_len < dist
         got_hit = lanes & ~out_of_len & (slot >= 0)
@@ -170,14 +169,13 @@ def bssrdf_scatter(scene, settings, rng, hitpoint, normal2, mat, mat_id,
         real_radius = length(vec)
         last_vec = jnp.where(got_hit[:, None], vec, last_vec)
 
-        hit_uv, smooth_n = fetch_attributes(scene, slot, hp_any)
+        hit_uv, smooth_n, surface_mat = fetch_attributes(scene, slot, hp_any)
         probe_obj_color = objcol
         if settings.use_texture:
-            from ..scene.texture import sample_texture
-            tex = sample_texture(scene["texture"], hit_uv[:, 0], hit_uv[:, 1])
+            from .wavefront import texture_radiance
+            tex = texture_radiance(scene, hit_uv)
             probe_obj_color = jnp.where(
                 (mat["useTexture"] != 0)[:, None], tex, probe_obj_color)
-        surface_mat = jnp.take(scene["tri_mat"], jnp.maximum(slot, 0))
         normal_dot = jnp.abs(dot(normalize(smooth_n), probe_dir))
 
         valid = got_hit & (surface_mat == mat_id) \

@@ -30,10 +30,11 @@ def medium_interaction(scene, rng, orig, raydir, mask, hit_t, medium_id,
     in_medium = active & (medium_id >= 0)
     rng, (r1, r2, r3, r4) = RaySampler.next_n(rng, 4)
 
-    safe_id = jnp.maximum(medium_id, 0)
-    sigma_s = jnp.take(scene["mat_med_sigma_s"], safe_id, axis=0)
-    sigma_a = jnp.take(scene["mat_med_sigma_a"], safe_id, axis=0)
-    g = jnp.take(scene["mat_med_g"], safe_id, axis=0)
+    from .wavefront import gather_material
+    med = gather_material(scene, jnp.maximum(medium_id, 0))
+    sigma_s = med["med_sigma_s"]
+    sigma_a = med["med_sigma_a"]
+    g = med["med_g"]
     sigma_t = sigma_s + sigma_a
 
     # sample a channel (src/reflection.cuh:169)

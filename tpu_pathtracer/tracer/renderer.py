@@ -102,24 +102,37 @@ class Renderer:
                 has_media=has_media,
                 has_bssrdf=has_bssrdf,
             )
+        # stack depth only needs the tree's actual depth
+        settings = dataclasses.replace(
+            settings, stack_depth=min(settings.stack_depth,
+                                      int(flat_bvh.max_depth) + 2))
         self.settings = settings
 
+        from .traverse import pack_stream
+        from .wavefront import pack_tri_attributes, pack_mat_table
         scene = {
             "prims": jnp.asarray(flat_bvh.prims),
             "meta": jnp.asarray(flat_bvh.meta),
+            "packed": jnp.asarray(pack_stream(flat_bvh.prims, flat_bvh.meta)),
             "num_nodes": flat_bvh.num_nodes,
-            "tri_pos": jnp.asarray(flat_bvh.tri_pos),
-            "tri_uv": jnp.asarray(flat_bvh.tri_uv),
-            "tri_nrm": jnp.asarray(flat_bvh.tri_nrm),
+            "tri_attr": jnp.asarray(pack_tri_attributes(
+                flat_bvh.tri_pos, flat_bvh.tri_uv, flat_bvh.tri_nrm,
+                flat_bvh.tri_mat)),
             "tri_mat": jnp.asarray(flat_bvh.tri_mat),
+            "mat_table": jnp.asarray(pack_mat_table(mat_arrays)),
             "env_const": jnp.asarray(env_const, jnp.float32),
         }
-        for k, v in mat_arrays.items():
-            scene["mat_" + k] = jnp.asarray(v)
+        from ..scene.texture import make_quad_texture
         if envmap is not None:
-            scene["envmap"] = jnp.asarray(envmap, jnp.float32)
+            env = np.asarray(envmap, np.float32)
+            scene["envmap_quad"] = jnp.asarray(
+                make_quad_texture(env, wrap_u=False, wrap_v=False))
+            scene["env_h"], scene["env_w"] = env.shape[0], env.shape[1]
         if texture is not None:
-            scene["texture"] = jnp.asarray(texture, jnp.float32)
+            tex = np.asarray(texture, np.float32)
+            scene["texture_quad"] = jnp.asarray(
+                make_quad_texture(tex, wrap_u=True, wrap_v=True))
+            scene["tex_h"], scene["tex_w"] = tex.shape[0], tex.shape[1]
         self.scene = scene
 
         n_pixels = self.width * self.height
@@ -127,22 +140,44 @@ class Renderer:
         self._integrate = make_integrator(settings)
         self._frame_fn = jax.jit(self._render_chunk)
 
+        # Lane -> pixel swizzle: packets traverse together, so lanes are
+        # laid out in 32x32 pixel blocks (1024 lanes = one minimal packet)
+        # instead of row-major strips. Coherent packets visit ~5x fewer
+        # BVH nodes (measured 6 -> 30 Mrays/s for 1024-lane packets).
+        bs = 32
+        W, H = self.width, self.height
+        bw = -(-W // bs)
+        lanes = np.arange(bw * -(-H // bs) * bs * bs, dtype=np.int64)
+        blk = lanes // (bs * bs)
+        within = lanes % (bs * bs)
+        px = (blk % bw) * bs + within % bs
+        py = (blk // bw) * bs + within // bs
+        valid = (px < W) & (py < H)
+        px = px[valid][:n_pixels]
+        py = py[valid][:n_pixels]
+        self._lane_px = px.astype(np.int32)
+        self._lane_py = py.astype(np.int32)
+        # pad so per-chunk dynamic slices stay in bounds (chunk multiple,
+        # plus headroom for ShardedRenderer's device-rounded lane count)
+        n_pad = (-(-n_pixels // self.lane_chunk) * self.lane_chunk
+                 - n_pixels + 8192)
+        self.scene["lane_px"] = jnp.asarray(np.pad(self._lane_px, (0, n_pad)))
+        self.scene["lane_py"] = jnp.asarray(np.pad(self._lane_py, (0, n_pad)))
+
     # ------------------------------------------------------------------
     def _render_chunk(self, scene, cam_vec, frame_hash, lane0, accum_chunk):
         """Render 1 spp for lanes [lane0, lane0 + chunk) and accumulate."""
         n = accum_chunk.shape[0]
         lane_ids = lane0 + jnp.arange(n, dtype=jnp.uint32)
         rng = RaySampler.init(frame_hash, lane_ids)
-        W = self.width
-        H = self.height
-        lanes32 = lane_ids.astype(jnp.int32)
-        row = lanes32 // W
-        col = lanes32 % W
-        pixel_x = col.astype(jnp.float32)
-        # buffer row r holds pixely = r (the reference's i = (h-y-1)*w + x
-        # with pixely = h-y-1, src/renderkernel.cu:887-889); pixely 0 is the
-        # TOP of the image because `vertical` is negated (:906)
-        pixel_y = row.astype(jnp.float32)
+        # block-swizzled lane -> pixel mapping (see __init__). pixel_y 0 is
+        # the TOP of the image: the reference's `vertical` is negated
+        # (src/renderkernel.cu:906) and its buffer row holds pixely = row
+        # (i = (h-y-1)*w + x with pixely = h-y-1, :887-889).
+        sl = jax.lax.dynamic_slice(scene["lane_px"], (lane0.astype(jnp.int32),), (n,))
+        pixel_x = sl.astype(jnp.float32)
+        sl = jax.lax.dynamic_slice(scene["lane_py"], (lane0.astype(jnp.int32),), (n,))
+        pixel_y = sl.astype(jnp.float32)
         rng, orig, raydir = generate_camera_rays(cam_vec, rng, pixel_x, pixel_y)
         rng, radiance = self._integrate(scene, rng, orig, raydir,
                                         cam_vec[15])
@@ -173,8 +208,14 @@ class Renderer:
 
     def accum_to_image(self, accum, frame_count):
         from ..core.image import tonemap
-        return tonemap(np.asarray(accum).reshape(self.height, self.width, 3),
-                       frame_count)
+        return tonemap(self.accum_to_buffer(accum), frame_count)
+
+    def accum_to_buffer(self, accum):
+        """Unswizzle the lane-ordered accumulation into an [H,W,3] buffer."""
+        a = np.asarray(accum)[:self.width * self.height]
+        img = np.zeros((self.height, self.width, 3), np.float32)
+        img[self._lane_py, self._lane_px] = a
+        return img
 
 
 def renderer_from_scene_desc(desc: SceneDesc, base_dir="", cache_dir=None):

@@ -28,7 +28,7 @@ from ..scene.config import (
     MAT_EMIT, MAT_DIFF, MAT_GLASS, MAT_REFL, MAT_DIFF_REFL, MAT_FRESNEL,
     MAT_NULL, MAT_SUBSURFACE,
 )
-from ..scene.texture import sample_texture, sample_envmap
+from ..scene.texture import sample_texture_quad, sample_envmap_quad
 from ..materials.bsdf import (
     lambertian_sample, specular_glass_sample, ggx_reflection_sample,
     rough_glass_sample, microfacet_interface_sample, fresnel_blend_sample,
@@ -52,40 +52,113 @@ class RenderSettings:
     use_distant_light: bool = False
     stack_depth: int = 64
     bssrdf_probes: int = 3   # maxLoopNum, src/renderkernel.cu:727
+    # traversal backend: "packet" = Pallas packet kernel (TPU),
+    # "wavefront" = pure-JAX per-lane step machine, "auto" = packet on TPU
+    traversal: str = "auto"
+    packet_tile_sub: int = 64   # sublane rows per packet (rays = x128)
+
+
+def trace_rays(scene, settings: RenderSettings, orig, raydir, tmin, tmax,
+               anyhit=False, active=None):
+    """Traversal dispatch: Pallas packet kernel on TPU, pure-JAX step
+    machine elsewhere."""
+    mode = settings.traversal
+    if mode == "auto":
+        mode = "packet" if jax.default_backend() == "tpu" else "wavefront"
+    if mode == "packet" and "packed" in scene:
+        from ..ops.traverse_packet import packet_intersect
+        return packet_intersect(
+            scene["packed"], orig, raydir, tmin, tmax, anyhit=anyhit,
+            stack_depth=settings.stack_depth, active=active,
+            tile_sub=settings.packet_tile_sub)
+    return intersect_scene(
+        scene["prims"], scene["meta"], scene["num_nodes"], orig, raydir,
+        tmin, tmax, anyhit=anyhit, stack_depth=settings.stack_depth,
+        active=active, tile_size=None)
+
+
+def pack_tri_attributes(tri_pos, tri_uv, tri_nrm, tri_mat):
+    """Pack the per-slot attribute streams into one (Kt,26) array so the
+    shading stage pays ONE gather per lane instead of four (gathers inside
+    the bounce loop cost ~0.26 ms / 64k lanes on TPU — they dominate if not
+    fused). Columns: pos[0:9] uv[9:15] nrm[15:24] mat[24] (bitcast) pad."""
+    import numpy as np
+    Kt = tri_pos.shape[0]
+    out = np.zeros((Kt, 26), np.float32)
+    out[:, 0:9] = tri_pos
+    out[:, 9:15] = tri_uv
+    out[:, 15:24] = tri_nrm
+    out[:, 24] = np.asarray(tri_mat, np.int32).view(np.float32)
+    return out
 
 
 def fetch_attributes(scene, hit_slot, hitpoint):
     """Barycentric-interpolated uv + smooth normal at the hit
-    (textureFetching, src/renderkernel.cu:440-466)."""
+    (textureFetching, src/renderkernel.cu:440-466). Single packed gather.
+    Returns (hit_uv, smooth_n, mat_id)."""
     safe = jnp.maximum(hit_slot, 0)
-    pos = jnp.take(scene["tri_pos"], safe, axis=0)     # [N,9]
-    uvs = jnp.take(scene["tri_uv"], safe, axis=0)      # [N,6]
-    nrm = jnp.take(scene["tri_nrm"], safe, axis=0)     # [N,9]
-    p0, p1, p2 = pos[:, 0:3], pos[:, 3:6], pos[:, 6:9]
+    a = jnp.take(scene["tri_attr"], safe, axis=0)      # [N,26]
+    p0, p1, p2 = a[:, 0:3], a[:, 3:6], a[:, 6:9]
     u, v, w = barycentric(hitpoint, p0, p1, p2)
-    hit_uv = (u[:, None] * uvs[:, 0:2] + v[:, None] * uvs[:, 2:4]
-              + w[:, None] * uvs[:, 4:6])
-    smooth_n = (u[:, None] * nrm[:, 0:3] + v[:, None] * nrm[:, 3:6]
-                + w[:, None] * nrm[:, 6:9])
-    return hit_uv, smooth_n
+    hit_uv = (u[:, None] * a[:, 9:11] + v[:, None] * a[:, 11:13]
+              + w[:, None] * a[:, 13:15])
+    smooth_n = (u[:, None] * a[:, 15:18] + v[:, None] * a[:, 18:21]
+                + w[:, None] * a[:, 21:24])
+    mat_id = jax.lax.bitcast_convert_type(a[:, 24], jnp.int32)
+    return hit_uv, smooth_n, mat_id
+
+
+# material table column layout (see materials_to_arrays / pack_mat_table)
+_MAT_COLS = {
+    "refltype": (0, 1), "objcol": (1, 4), "emit": (4, 7), "alphax": (7, 8),
+    "alphay": (8, 9), "kd": (9, 10), "ks": (10, 11), "etaT": (11, 12),
+    "useNormal": (12, 13), "useTexture": (13, 14), "F0": (14, 17),
+    "tangent": (17, 20), "mfp": (20, 23), "med_sigma_s": (23, 26),
+    "med_sigma_a": (26, 29), "med_g": (29, 30), "has_medium": (30, 31),
+}
+_INT_MAT_COLS = ("refltype", "useNormal", "useTexture", "has_medium")
+
+
+def pack_mat_table(mat_arrays):
+    """Pack material SoA columns into one (M,31) f32 table."""
+    import numpy as np
+    M = mat_arrays["refltype"].shape[0]
+    t = np.zeros((M, 31), np.float32)
+    for k, (a, b) in _MAT_COLS.items():
+        v = np.asarray(mat_arrays[k], np.float32)
+        t[:, a:b] = v.reshape(M, b - a)
+    return t
 
 
 def gather_material(scene, mat_id):
-    safe = jnp.maximum(mat_id, 0)
+    """Fetch per-lane material params. Material counts are tiny (<= dozens),
+    so instead of a gather this is a one-hot matmul against the packed
+    (M,31) table — pure MXU/VPU work, no gather at all (the branch-free
+    analog of the gpuMatDesc fetch at src/renderkernel.cu:570-582)."""
+    table = scene["mat_table"]                     # (M,31)
+    M = table.shape[0]
+    oh = (mat_id[:, None] == jnp.arange(M, dtype=jnp.int32)[None, :])
+    rows = jnp.dot(oh.astype(jnp.float32), table,
+                   preferred_element_type=jnp.float32)  # (N,31)
     m = {}
-    for k in ("refltype", "alphax", "alphay", "kd", "ks", "etaT",
-              "useNormal", "useTexture", "med_g", "has_medium"):
-        m[k] = jnp.take(scene["mat_" + k], safe, axis=0)
-    for k in ("objcol", "emit", "F0", "tangent", "mfp",
-              "med_sigma_s", "med_sigma_a"):
-        m[k] = jnp.take(scene["mat_" + k], safe, axis=0)
+    for k, (a, b) in _MAT_COLS.items():
+        v = rows[:, a:b] if b - a > 1 else rows[:, a]
+        if k in _INT_MAT_COLS:
+            v = v.astype(jnp.int32)
+        m[k] = v
     return m
 
 
 def env_radiance(scene, settings: RenderSettings, raydir, env_rotation):
     if settings.use_envmap:
-        return sample_envmap(scene["envmap"], raydir, env_rotation)
+        return sample_envmap_quad(scene["envmap_quad"], scene["env_h"],
+                                  scene["env_w"], raydir, env_rotation)
     return jnp.broadcast_to(scene["env_const"], raydir.shape)
+
+
+def texture_radiance(scene, hit_uv):
+    return sample_texture_quad(scene["texture_quad"], scene["tex_h"],
+                               scene["tex_w"], hit_uv[:, 0], hit_uv[:, 1])
 
 
 def shade(scene, settings, rng, raydir, n, nl, into, mat, objcol):
@@ -219,11 +292,9 @@ def make_integrator(settings: RenderSettings):
             lbn = st["lbn"]
             medium_id = st["medium_id"]
 
-            hit_slot, hit_t = intersect_scene(
-                scene["prims"], scene["meta"], scene["num_nodes"],
-                orig, raydir, RAY_MIN, RAY_MAX,
-                anyhit=False, stack_depth=settings.stack_depth,
-                active=active)
+            hit_slot, hit_t = trace_rays(
+                scene, settings, orig, raydir, RAY_MIN, RAY_MAX,
+                anyhit=False, active=active)
 
             # ---------- participating media (wired-in HomogeneousMedium,
             # src/reflection.cuh:152-197) ----------
@@ -235,19 +306,22 @@ def make_integrator(settings: RenderSettings):
 
             surf = active & ~sampled_medium
 
-            # ---------- environment miss (src/renderkernel.cu:553-557) -----
+            # ---------- environment miss (src/renderkernel.cu:553-557) ----
+            # DEFERRED: each lane reaches the environment at most once, so
+            # record (direction, throughput) here and evaluate the envmap
+            # once after the bounce loop instead of paying its bilinear
+            # gather every iteration.
             miss = surf & (hit_t > 1e10)
-            env = env_radiance(scene, settings, raydir, cam_env_rotation)
-            accum = accum + jnp.where(miss[:, None], mask * env, 0.0)
+            miss_dir = jnp.where(miss[:, None], raydir, st["miss_dir"])
+            miss_mask = jnp.where(miss[:, None], mask, st["miss_mask"])
             active = active & ~miss
             surf = surf & ~miss
 
             # ---------- surface interaction ----------
             hitpoint = orig + raydir * hit_t[:, None]
-            mat_id = jnp.take(scene["tri_mat"], jnp.maximum(hit_slot, 0))
+            hit_uv, smooth_n, mat_id = fetch_attributes(scene, hit_slot,
+                                                        hitpoint)
             mat = gather_material(scene, mat_id)
-
-            hit_uv, smooth_n = fetch_attributes(scene, hit_slot, hitpoint)
             tri_n = woop_geometric_normal(
                 scene["prims"], scene["num_nodes"], hit_slot)
             use_sn = mat["useNormal"] != 0
@@ -255,7 +329,7 @@ def make_integrator(settings: RenderSettings):
 
             objcol = mat["objcol"]
             if settings.use_texture:
-                tex = sample_texture(scene["texture"], hit_uv[:, 0], hit_uv[:, 1])
+                tex = texture_radiance(scene, hit_uv)
                 objcol = jnp.where((mat["useTexture"] != 0)[:, None], tex, objcol)
 
             into = dot(n, raydir) < 0.0
@@ -310,14 +384,20 @@ def make_integrator(settings: RenderSettings):
                 "rng": rng, "orig": orig, "raydir": raydir, "mask": mask,
                 "accum": accum, "active": active, "lbn": lbn,
                 "bounce": bounce, "medium_id": medium_id,
+                "miss_dir": miss_dir, "miss_mask": miss_mask,
             }
 
         st = {
             "rng": rng, "orig": orig, "raydir": raydir, "mask": mask,
             "accum": accum, "active": active, "lbn": light_bounce_num,
             "bounce": bounce, "medium_id": medium_id,
+            "miss_dir": jnp.zeros((N, 3), jnp.float32),
+            "miss_mask": jnp.zeros((N, 3), jnp.float32),
         }
         st = jax.lax.while_loop(cond, body, st)
-        return st["rng"], st["accum"]
+        # deferred environment contribution (once per path)
+        env = env_radiance(scene, settings, st["miss_dir"],
+                           cam_env_rotation)
+        return st["rng"], st["accum"] + st["miss_mask"] * env
 
     return integrate
