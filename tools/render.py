@@ -103,23 +103,35 @@ def main():
 
     meter = RateMeter()
     last_snap = time.time()
-    for frame in range(start_frame + 1, args.spp + 1):
-        accum = renderer.render_frame(accum, rc, frame)
-        meter.tick(W * H)
+    # batch samples per device dispatch: the tunneled runtime costs ~40 ms
+    # per host round-trip, so progressive frames are grouped
+    batch = max(1, min(16, args.spp // 8)) if hasattr(renderer, "render_frames") else 1
+    frame = start_frame + 1
+    while frame <= args.spp:
+        n = min(batch, args.spp - frame + 1)
+        if hasattr(renderer, "render_frames"):
+            accum = renderer.render_frames(accum, rc, frame, n)
+        else:
+            for k in range(n):
+                accum = renderer.render_frame(accum, rc, frame + k)
+        frame += n
+        meter.tick(W * H * n)
+        done = frame - 1  # frames completed
         if args.snapshot_every and time.time() - last_snap > args.snapshot_every:
-            img = renderer.accum_to_image(accum, frame)
+            img = renderer.accum_to_image(accum, done)
             from PIL import Image
             Image.fromarray(img, "RGB").save(args.out + ".snap.png")
             last_snap = time.time()
         ck = args.checkpoint or args.resume
-        if ck and frame % args.checkpoint_every == 0:
-            save_checkpoint(ck, accum, frame, {"width": W, "height": H})
+        if ck and done % args.checkpoint_every < batch:
+            save_checkpoint(ck, accum, done, {"width": W, "height": H})
 
-    img = renderer.accum_to_image(accum, args.spp)
-    from PIL import Image
-    Image.fromarray(img, "RGB").save(args.out)
     if args.out.endswith(".ppm"):
-        write_ppm(args.out, np.asarray(accum).reshape(H, W, 3), args.spp)
+        write_ppm(args.out, renderer.accum_to_buffer(accum), args.spp)
+    else:
+        img = renderer.accum_to_image(accum, args.spp)
+        from PIL import Image
+        Image.fromarray(img, "RGB").save(args.out)
     print("wrote %s (%d spp)" % (args.out, args.spp))
     ck = args.checkpoint or args.resume
     if ck:

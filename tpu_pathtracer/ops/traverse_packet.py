@@ -5,28 +5,30 @@ gather: every lane wants a different BVH node each step, and TPU vector
 units have no efficient arbitrary-table gather (measured ~0.26 ms per 64k
 gathers inside an XLA loop — 2 orders of magnitude off VPU speed).
 
-This kernel removes the gather entirely by traversing in *packets*: each
-grid cell owns a tile of rays (SUB x 128 lanes) that walk the BVH together
-behind ONE scalar cursor. Node data is read as a (1,16) dynamic slice and
-broadcast to all lanes (free on the VPU); the traversal stack is a scalar
-array in SMEM. A child is descended if ANY lane in the packet intersects it
-— per-lane hit_t still tightens each lane's own slab test, so lanes that
-found closer hits stop voting. This is the classical SIMD packet tracing
-scheme (Wald et al.) re-cast for the TPU's 8x128 VPU, and is the TPU-native
-replacement for the reference's per-thread Kepler traversal + warp ballots
-(src/renderkernel.cu:136-419,310-321): where CUDA keeps 32-thread warps
-coherent with votes, we keep (SUB*128)-lane packets coherent by
-construction.
+This kernel removes the gather by traversing in *packets*: each grid cell
+owns tiles of rays (SUB x 128 lanes) that walk the BVH together behind ONE
+scalar cursor per tile. Node data is broadcast to all lanes; the traversal
+stack is a scalar array in SMEM. A child is descended if ANY lane in the
+packet intersects it — per-lane hit_t still tightens each lane's own slab
+test. This is classical SIMD packet tracing (Wald et al.) re-cast for the
+TPU's 8x128 VPU — the TPU-native replacement for the reference's per-thread
+Kepler traversal + warp ballots (src/renderkernel.cu:136-419,310-321).
 
-Same semantics as tracer/traverse.py: Compact2-equivalent unified stream
-(accel/flatten.py), spanBegin/spanEnd slab tests with tmin clamping, Woop
-triangle tests, nearer-child-first ordering (packet vote by min-of-lanes
-entry distance), anyhit early lane termination.
+Two TPU-specific twists, both driven by measurement:
+
+* The step cost is dominated by the scalar pipeline (row fetch, scalar
+  extractions, reductions, branches) — ~1.2 us/step vs ~0.06 us of vector
+  work. So the step is BRANCH-FREE: the node slab test and the Woop
+  triangle test read the same 14 row columns and both are computed every
+  step, with the outcome selected by the cursor's sign. No lax.cond.
+
+* Several INDEPENDENT packets are interleaved in one kernel instance
+  (`interleave`): their scalar chains have no data dependencies, so the
+  compiler can overlap the latencies that would otherwise serialize.
 """
 from __future__ import annotations
 
 import functools
-import math
 
 import numpy as np
 import jax
@@ -38,18 +40,126 @@ SENTINEL = np.int32(0x76543210)
 F32_BIG = np.float32(1e30)
 
 
+def _make_step(tab_ref, rays, anyhit):
+    """Returns step(state, stack_base, stack_ref) -> state for ONE packet.
+    rays: dict of per-lane (SUB,128) arrays + precomputed idir/ood."""
+    ox, oy, oz = rays["ox"], rays["oy"], rays["oz"]
+    dx, dy, dz = rays["dx"], rays["dy"], rays["dz"]
+    idx_, idy, idz = rays["idx"], rays["idy"], rays["idz"]
+    oodx, oody, oodz = rays["oodx"], rays["oody"], rays["oodz"]
+    tmin = rays["tmin"]
+    act = rays["act"]
+
+    def step(st, stack_ref, base):
+        cur, sp, hit_slot, hit_t, done = st
+        alive = cur != SENTINEL
+        is_node = alive & (cur >= 0)
+        is_tri = alive & (cur < 0)
+        row = jnp.where(is_tri, ~cur, jnp.where(is_node, cur, 0))
+        prow = tab_ref[pl.ds(row, 1), :]
+
+        def sci(c):
+            v = jax.lax.bitcast_convert_type(prow[0:1, c:c + 1], jnp.int32)
+            return jnp.sum(v)
+
+        # 12 shared scalar extractions: the node row's box floats + 2
+        # children occupy the same columns as a tri row's 12 Woop floats +
+        # (attr, last). (A matmul-replication trick that avoided these
+        # extractions compiled but silently produced zero hits on real v5e
+        # hardware — do not reintroduce it without an on-device check.)
+        def sc(c):
+            return jnp.sum(prow[0:1, c:c + 1])
+
+        f0, f1, f2, f3 = sc(0), sc(1), sc(2), sc(3)
+        f4, f5, f6, f7 = sc(4), sc(5), sc(6), sc(7)
+        f8, f9, f10, f11 = sc(8), sc(9), sc(10), sc(11)
+        m0 = sci(12)
+        m1 = sci(13)
+
+        vote = act & ~done
+
+        # ---- node interpretation: two slab tests ----
+        c0lox = f0 * idx_ - oodx
+        c0hix = f1 * idx_ - oodx
+        c0loy = f2 * idy - oody
+        c0hiy = f3 * idy - oody
+        c1lox = f4 * idx_ - oodx
+        c1hix = f5 * idx_ - oodx
+        c1loy = f6 * idy - oody
+        c1hiy = f7 * idy - oody
+        c0loz = f8 * idz - oodz
+        c0hiz = f9 * idz - oodz
+        c1loz = f10 * idz - oodz
+        c1hiz = f11 * idz - oodz
+        c0min = jnp.maximum(jnp.maximum(jnp.minimum(c0lox, c0hix),
+                                        jnp.minimum(c0loy, c0hiy)),
+                            jnp.maximum(jnp.minimum(c0loz, c0hiz), tmin))
+        c0max = jnp.minimum(jnp.minimum(jnp.maximum(c0lox, c0hix),
+                                        jnp.maximum(c0loy, c0hiy)),
+                            jnp.minimum(jnp.maximum(c0loz, c0hiz), hit_t))
+        c1min = jnp.maximum(jnp.maximum(jnp.minimum(c1lox, c1hix),
+                                        jnp.minimum(c1loy, c1hiy)),
+                            jnp.maximum(jnp.minimum(c1loz, c1hiz), tmin))
+        c1max = jnp.minimum(jnp.minimum(jnp.maximum(c1lox, c1hix),
+                                        jnp.maximum(c1loy, c1hiy)),
+                            jnp.minimum(jnp.maximum(c1loz, c1hiz), hit_t))
+        v0 = vote & (c0min <= c0max)
+        v1 = vote & (c1min <= c1max)
+        e0 = jnp.min(jnp.where(v0, c0min, F32_BIG))
+        e1 = jnp.min(jnp.where(v1, c1min, F32_BIG))
+        any0 = e0 < F32_BIG
+        any1 = e1 < F32_BIG
+        both = any0 & any1
+        swap = both & (e1 < e0)
+        near = jnp.where(swap, m1, m0)
+        far = jnp.where(swap, m0, m1)
+        node_next = jnp.where(both, near, jnp.where(any0, m0, m1))
+        node_pop = ~any0 & ~any1
+        node_push = both
+
+        # ---- triangle interpretation: Woop test ----
+        Oz = f3 - ox * f0 - oy * f1 - oz * f2
+        invDz = 1.0 / (dx * f0 + dy * f1 + dz * f2)
+        t = Oz * invDz
+        Ox = f7 + ox * f4 + oy * f5 + oz * f6
+        u = Ox + t * (dx * f4 + dy * f5 + dz * f6)
+        Oy = f11 + ox * f8 + oy * f9 + oz * f10
+        v = Oy + t * (dx * f8 + dy * f9 + dz * f10)
+        tri_hit = is_tri & vote & (t > tmin) & (t < hit_t) \
+            & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
+        hit_t = jnp.where(tri_hit, t, hit_t)
+        hit_slot = jnp.where(tri_hit, m0, hit_slot)
+        tri_last = m1 != 0
+        if anyhit:
+            done = done | tri_hit
+            tri_stop = tri_last | ~jnp.any(act & ~done)
+        else:
+            tri_stop = tri_last
+
+        # ---- combine + shared stack (scalar, in SMEM at `base`) ----
+        need_pop = (is_node & node_pop) | (is_tri & tri_stop)
+        push = is_node & node_push
+        top = stack_ref[base + jnp.maximum(sp - 1, 0)]
+        popped = jnp.where(sp > 0, top, SENTINEL)
+        go = jnp.where(is_node, node_next, cur - 1)
+        new_cur = jnp.where(alive,
+                            jnp.where(need_pop, popped, go), cur)
+        new_sp = jnp.where(need_pop, jnp.maximum(sp - 1, 0), sp)
+
+        @pl.when(push)
+        def _():
+            stack_ref[base + new_sp] = far
+
+        new_sp = new_sp + push.astype(jnp.int32)
+        return new_cur, new_sp, hit_slot, hit_t, done
+
+    return step
+
+
 def _kernel(tab_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             tmin_ref, tmax_ref, act_ref, slot_ref, t_ref, stack_ref,
-            *, anyhit, stack_depth):
-    ox = ox_ref[:]
-    oy = oy_ref[:]
-    oz = oz_ref[:]
-    dx = dx_ref[:]
-    dy = dy_ref[:]
-    dz = dz_ref[:]
-    tmin = tmin_ref[:]
-    act = act_ref[:] != 0
-
+            *, anyhit, stack_depth, interleave, sub):
+    G = interleave
     ooeps = jnp.float32(2.0 ** -80)
 
     def inv(d):
@@ -57,164 +167,74 @@ def _kernel(tab_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                          jnp.where(d >= 0, ooeps, -ooeps))
         return 1.0 / safe
 
-    idx_ = inv(dx)
-    idy = inv(dy)
-    idz = inv(dz)
-    oodx = ox * idx_
-    oody = oy * idy
-    oodz = oz * idz
-
-    # inactive lanes: degenerate interval so they never vote
-    hit_t0 = jnp.where(act, tmax_ref[:], tmin)
-    hit_slot0 = jnp.full(ox.shape, -1, jnp.int32)
-
-    any_active = jnp.any(act)
-    cur0 = jnp.where(any_active, jnp.int32(0), SENTINEL)
+    states = []
+    steps = []
+    for g in range(G):
+        sl = pl.ds(g * sub, sub)
+        rays = {}
+        rays["ox"] = ox_ref[sl, :]
+        rays["oy"] = oy_ref[sl, :]
+        rays["oz"] = oz_ref[sl, :]
+        rays["dx"] = dx_ref[sl, :]
+        rays["dy"] = dy_ref[sl, :]
+        rays["dz"] = dz_ref[sl, :]
+        rays["tmin"] = tmin_ref[sl, :]
+        rays["act"] = act_ref[sl, :] != 0
+        rays["idx"] = inv(rays["dx"])
+        rays["idy"] = inv(rays["dy"])
+        rays["idz"] = inv(rays["dz"])
+        rays["oodx"] = rays["ox"] * rays["idx"]
+        rays["oody"] = rays["oy"] * rays["idy"]
+        rays["oodz"] = rays["oz"] * rays["idz"]
+        tmax_g = tmax_ref[sl, :]
+        hit_t0 = jnp.where(rays["act"], tmax_g, rays["tmin"])
+        cur0 = jnp.where(jnp.any(rays["act"]), jnp.int32(0), SENTINEL)
+        states.append((cur0, jnp.int32(0),
+                       jnp.full((sub, 128), -1, jnp.int32), hit_t0,
+                       jnp.zeros((sub, 128), bool)))
+        steps.append(_make_step(tab_ref, rays, anyhit))
 
     def cond(c):
-        return c[0] != SENTINEL
+        alive = c[0][0] != SENTINEL
+        for g in range(1, G):
+            alive = alive | (c[g][0] != SENTINEL)
+        return alive
 
     def body(c):
-        cur, sp, hit_slot, hit_t, done = c
-        is_node = cur >= 0
-        row = jnp.where(is_node, cur, ~cur)
-        prow = tab_ref[pl.ds(row, 1), :]          # (1,16) row
-        # Mosaic cannot broadcast a dynamically-sliced (1,1) vector to the
-        # lane shape; reduce to a rank-0 scalar first (free on the SPU) and
-        # let scalar*vector broadcasting do the rest.
+        out = []
+        for g in range(G):
+            out.append(steps[g](c[g], stack_ref, g * stack_depth))
+        return tuple(out)
 
-        def sc(c):
-            return jnp.sum(prow[0:1, c:c + 1])
-
-        def sci(c):
-            # bitcast must stay a vector op in Mosaic; reduce afterwards
-            as_int = jax.lax.bitcast_convert_type(prow[0:1, c:c + 1],
-                                                  jnp.int32)
-            return jnp.sum(as_int)
-
-        def node_step(_):
-            c0lox = sc(0) * idx_ - oodx
-            c0hix = sc(1) * idx_ - oodx
-            c0loy = sc(2) * idy - oody
-            c0hiy = sc(3) * idy - oody
-            c1lox = sc(4) * idx_ - oodx
-            c1hix = sc(5) * idx_ - oodx
-            c1loy = sc(6) * idy - oody
-            c1hiy = sc(7) * idy - oody
-            c0loz = sc(8) * idz - oodz
-            c0hiz = sc(9) * idz - oodz
-            c1loz = sc(10) * idz - oodz
-            c1hiz = sc(11) * idz - oodz
-            c0min = jnp.maximum(jnp.maximum(jnp.minimum(c0lox, c0hix),
-                                            jnp.minimum(c0loy, c0hiy)),
-                                jnp.maximum(jnp.minimum(c0loz, c0hiz), tmin))
-            c0max = jnp.minimum(jnp.minimum(jnp.maximum(c0lox, c0hix),
-                                            jnp.maximum(c0loy, c0hiy)),
-                                jnp.minimum(jnp.maximum(c0loz, c0hiz), hit_t))
-            c1min = jnp.maximum(jnp.maximum(jnp.minimum(c1lox, c1hix),
-                                            jnp.minimum(c1loy, c1hiy)),
-                                jnp.maximum(jnp.minimum(c1loz, c1hiz), tmin))
-            c1max = jnp.minimum(jnp.minimum(jnp.maximum(c1lox, c1hix),
-                                            jnp.maximum(c1loy, c1hiy)),
-                                jnp.minimum(jnp.maximum(c1loz, c1hiz), hit_t))
-            vote = act & ~done
-            m0 = vote & (c0min <= c0max)
-            m1 = vote & (c1min <= c1max)
-            e0 = jnp.min(jnp.where(m0, c0min, F32_BIG))
-            e1 = jnp.min(jnp.where(m1, c1min, F32_BIG))
-            any0 = e0 < F32_BIG
-            any1 = e1 < F32_BIG
-            child0 = sci(12)
-            child1 = sci(13)
-            both = any0 & any1
-            swap = both & (e1 < e0)
-            near = jnp.where(swap, child1, child0)
-            far = jnp.where(swap, child0, child1)
-            one = jnp.where(any0, child0, child1)
-            nxt = jnp.where(both, near, one)
-
-            do_pop = ~any0 & ~any1
-            top = stack_ref[jnp.maximum(sp - 1, 0)]
-            popped = jnp.where(sp > 0, top, SENTINEL)
-            new_cur = jnp.where(do_pop, popped, nxt)
-            new_sp = jnp.where(do_pop, jnp.maximum(sp - 1, 0), sp)
-
-            @pl.when(both)
-            def _():
-                stack_ref[new_sp] = far
-
-            new_sp = jnp.where(both, new_sp + 1, new_sp)
-            return new_cur, new_sp, hit_slot, hit_t, done
-
-        def tri_step(_):
-            m0x = sc(0)
-            m0y = sc(1)
-            m0z = sc(2)
-            m0w = sc(3)
-            m1x = sc(4)
-            m1y = sc(5)
-            m1z = sc(6)
-            m1w = sc(7)
-            m2x = sc(8)
-            m2y = sc(9)
-            m2z = sc(10)
-            m2w = sc(11)
-            Oz = m0w - ox * m0x - oy * m0y - oz * m0z
-            invDz = 1.0 / (dx * m0x + dy * m0y + dz * m0z)
-            t = Oz * invDz
-            Ox = m1w + ox * m1x + oy * m1y + oz * m1z
-            Dx = dx * m1x + dy * m1y + dz * m1z
-            u = Ox + t * Dx
-            Oy = m2w + ox * m2x + oy * m2y + oz * m2z
-            Dy = dx * m2x + dy * m2y + dz * m2z
-            v = Oy + t * Dy
-            attr = sci(12)
-            last = sci(13) != 0
-            hit = act & ~done & (t > tmin) & (t < hit_t) \
-                & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
-            new_hit_t = jnp.where(hit, t, hit_t)
-            new_hit_slot = jnp.where(hit, attr, hit_slot)
-            if anyhit:
-                new_done = done | hit
-                stop = last | ~jnp.any(act & ~new_done)
-            else:
-                new_done = done
-                stop = last
-            top = stack_ref[jnp.maximum(sp - 1, 0)]
-            popped = jnp.where(sp > 0, top, SENTINEL)
-            new_cur = jnp.where(stop, popped, cur - 1)
-            new_sp = jnp.where(stop, jnp.maximum(sp - 1, 0), sp)
-            return new_cur, new_sp, new_hit_slot, new_hit_t, new_done
-
-        return jax.lax.cond(is_node, node_step, tri_step, None)
-
-    done0 = jnp.zeros(ox.shape, bool)
-    cur, sp, hit_slot, hit_t, done = jax.lax.while_loop(
-        cond, body, (cur0, jnp.int32(0), hit_slot0, hit_t0, done0))
-    slot_ref[:] = hit_slot
-    t_ref[:] = jnp.where(act, hit_t, tmax_ref[:])
+    final = jax.lax.while_loop(cond, body, tuple(states))
+    for g in range(G):
+        sl = pl.ds(g * sub, sub)
+        cur, sp, hit_slot, hit_t, done = final[g]
+        act = act_ref[sl, :] != 0
+        slot_ref[sl, :] = hit_slot
+        t_ref[sl, :] = jnp.where(act, hit_t, tmax_ref[sl, :])
 
 
 def packet_intersect(packed, orig, raydir, tmin, tmax, anyhit=False,
-                     stack_depth=64, active=None, tile_sub=16,
+                     stack_depth=64, active=None, tile_sub=8, interleave=4,
                      interpret=False):
     """Packet-traverse rays against the packed (K,16) primitive stream.
 
-    orig/raydir: [N,3]; N is padded to tile_sub*128 internally.
+    orig/raydir: [N,3]; N is padded to tile_sub*interleave*128 internally.
     Returns (hit_slot [N] i32, hit_t [N] f32).
     """
     N = orig.shape[0]
     LANES = 128
-    T = tile_sub * LANES
+    T = tile_sub * LANES * interleave
     n_tiles = -(-N // T)
     Np = n_tiles * T
+    rows = n_tiles * tile_sub * interleave
 
     def prep(x, fill):
-        x = jnp.broadcast_to(jnp.asarray(x, x.dtype if hasattr(x, "dtype")
-                                         else jnp.float32), (N,))
+        x = jnp.asarray(x)
         if Np != N:
             x = jnp.pad(x, (0, Np - N), constant_values=fill)
-        return x.reshape(n_tiles * tile_sub, LANES)
+        return x.reshape(rows, LANES)
 
     tmin_a = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (N,))
     tmax_a = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (N,))
@@ -227,21 +247,23 @@ def packet_intersect(packed, orig, raydir, tmin, tmax, anyhit=False,
         prep(tmin_a, 0.0), prep(tmax_a, 0.0), prep(act, 0),
     )
 
-    ray_spec = pl.BlockSpec((tile_sub, LANES), lambda i: (i, 0),
+    blk = tile_sub * interleave
+    ray_spec = pl.BlockSpec((blk, LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     tab_spec = pl.BlockSpec(packed.shape, lambda i: (0, 0),
                             memory_space=pltpu.VMEM)
 
     slot, t = pl.pallas_call(
-        functools.partial(_kernel, anyhit=anyhit, stack_depth=stack_depth),
+        functools.partial(_kernel, anyhit=anyhit, stack_depth=stack_depth,
+                          interleave=interleave, sub=tile_sub),
         grid=(n_tiles,),
         in_specs=[tab_spec] + [ray_spec] * 9,
         out_specs=[ray_spec, ray_spec],
         out_shape=[
-            jax.ShapeDtypeStruct((n_tiles * tile_sub, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((n_tiles * tile_sub, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
         ],
-        scratch_shapes=[pltpu.SMEM((stack_depth,), jnp.int32)],
+        scratch_shapes=[pltpu.SMEM((stack_depth * interleave,), jnp.int32)],
         interpret=interpret,
     )(packed, *args)
     return slot.reshape(-1)[:N], t.reshape(-1)[:N]

@@ -79,3 +79,6 @@ class ShardedRenderer:
 
     def accum_to_image(self, accum, frame_count):
         return self.base.accum_to_image(accum, frame_count)
+
+    def accum_to_buffer(self, accum):
+        return self.base.accum_to_buffer(accum)

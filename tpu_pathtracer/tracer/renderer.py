@@ -136,9 +136,14 @@ class Renderer:
         self.scene = scene
 
         n_pixels = self.width * self.height
-        self.lane_chunk = int(lane_chunk or min(n_pixels, 1 << 18))
+        # default: the whole image in one chunk — every host->device dispatch
+        # costs ~40 ms of tunnel latency, so chunking only pays for images
+        # too large for memory (> ~8M pixels)
+        self.lane_chunk = int(lane_chunk or min(n_pixels, 1 << 23))
         self._integrate = make_integrator(settings)
         self._frame_fn = jax.jit(self._render_chunk)
+        self._frames_fn = jax.jit(self._render_frames_chunk,
+                                  static_argnames=("n_frames",))
 
         # Lane -> pixel swizzle: packets traverse together, so lanes are
         # laid out in 32x32 pixel blocks (1024 lanes = one minimal packet)
@@ -183,6 +188,17 @@ class Renderer:
                                         cam_vec[15])
         return accum_chunk + radiance
 
+    def _render_frames_chunk(self, scene, cam_vec, frame0, lane0,
+                             accum_chunk, *, n_frames):
+        """Accumulate n_frames progressive samples in ONE device program
+        (amortizes dispatch latency across samples)."""
+        from ..core.rng import wang_hash
+
+        def body(i, acc):
+            fh = wang_hash(frame0 + i.astype(jnp.uint32))
+            return self._render_chunk(scene, cam_vec, fh, lane0, acc)
+        return jax.lax.fori_loop(0, n_frames, body, accum_chunk)
+
     # ------------------------------------------------------------------
     def zeros_accum(self):
         return jnp.zeros((self.width * self.height, 3), jnp.float32)
@@ -190,19 +206,27 @@ class Renderer:
     def render_frame(self, accum, camera: RenderCamera, frame_number: int):
         """One progressive sample per pixel; frame_number starts at 1
         (the reference increments before rendering, src/main.cpp:167)."""
+        return self.render_frames(accum, camera, frame_number, 1)
+
+    def render_frames(self, accum, camera: RenderCamera, frame_start: int,
+                      n_frames: int):
+        """Accumulate n_frames samples per pixel in as few device dispatches
+        as possible (frame numbers frame_start .. frame_start+n_frames-1)."""
         cam_vec = jnp.asarray(camera.as_array())
-        fh = wang_hash(jnp.uint32(frame_number))
+        f0 = jnp.uint32(frame_start)
         n = accum.shape[0]
         chunk = self.lane_chunk
         if n <= chunk:
-            return self._frame_fn(self.scene, cam_vec, fh, jnp.uint32(0), accum)
+            return self._frames_fn(self.scene, cam_vec, f0, jnp.uint32(0),
+                                   accum, n_frames=n_frames)
         out = []
         for lane0 in range(0, n, chunk):
             sl = accum[lane0:lane0 + chunk]
             pad = chunk - sl.shape[0]
             if pad:
                 sl = jnp.pad(sl, ((0, pad), (0, 0)))
-            res = self._frame_fn(self.scene, cam_vec, fh, jnp.uint32(lane0), sl)
+            res = self._frames_fn(self.scene, cam_vec, f0, jnp.uint32(lane0),
+                                  sl, n_frames=n_frames)
             out.append(res[:chunk - pad] if pad else res)
         return jnp.concatenate(out, axis=0)
 

@@ -55,7 +55,12 @@ class RenderSettings:
     # traversal backend: "packet" = Pallas packet kernel (TPU),
     # "wavefront" = pure-JAX per-lane step machine, "auto" = packet on TPU
     traversal: str = "auto"
-    packet_tile_sub: int = 64   # sublane rows per packet (rays = x128)
+    packet_tile_sub: int = 8    # sublane rows per packet (rays = x128)
+    # compact rays (dead lanes last) before each packet traversal. Measured
+    # NET-NEGATIVE on the demo scene (the argsort+permute costs more than
+    # retiring packets saves) — kept as an option for scenes with much
+    # longer path tails.
+    sort_rays: bool = False
 
 
 def trace_rays(scene, settings: RenderSettings, orig, raydir, tmin, tmax,
@@ -67,10 +72,29 @@ def trace_rays(scene, settings: RenderSettings, orig, raydir, tmin, tmax,
         mode = "packet" if jax.default_backend() == "tpu" else "wavefront"
     if mode == "packet" and "packed" in scene:
         from ..ops.traverse_packet import packet_intersect
-        return packet_intersect(
-            scene["packed"], orig, raydir, tmin, tmax, anyhit=anyhit,
-            stack_depth=settings.stack_depth, active=active,
-            tile_sub=settings.packet_tile_sub)
+
+        def run(o, d, act):
+            return packet_intersect(
+                scene["packed"], o, d, tmin, tmax, anyhit=anyhit,
+                stack_depth=settings.stack_depth, active=act,
+                tile_sub=settings.packet_tile_sub)
+
+        N = orig.shape[0]
+        if settings.sort_rays and N >= 4096:
+            act = (jnp.ones((N,), bool) if active is None else active)
+            # pure compaction: stable-sort dead lanes to the end. Active
+            # lanes keep their pixel-block order (spatial coherence), and
+            # whole trailing packets retire instantly. (Sorting by octant
+            # instead measured WORSE: it scrambles spatial locality.)
+            key = jnp.where(act, jnp.uint32(0), jnp.uint32(1))
+            order = jnp.argsort(key, stable=True)
+            slot_s, t_s = run(jnp.take(orig, order, axis=0),
+                              jnp.take(raydir, order, axis=0),
+                              jnp.take(act, order))
+            slot = jnp.zeros((N,), jnp.int32).at[order].set(slot_s)
+            hit_t = jnp.zeros((N,), jnp.float32).at[order].set(t_s)
+            return slot, hit_t
+        return run(orig, raydir, active)
     return intersect_scene(
         scene["prims"], scene["meta"], scene["num_nodes"], orig, raydir,
         tmin, tmax, anyhit=anyhit, stack_depth=settings.stack_depth,
