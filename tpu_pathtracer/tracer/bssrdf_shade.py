@@ -72,15 +72,64 @@ def calculate_bssrdf_soe(ns, normal_next, sigma_t, rho, d, ss, ts):
     return beta
 
 
-def _sample_probe_ray(r1, r2, r3, normal, hitpoint, sigma_t, rho, vx, vy):
-    """sampleBSSRDFprobeRay, SoE path (src/bssrdf.cuh:278-317).
-    Returns (orig, dir, ray_length, radius, probex, probey)."""
+def calculate_bssrdf_table(scene, ns, normal_next, sigma_t, rho, d, ss, ts):
+    """Tabulated profile + 3-axis/3-channel MIS pdf (calculateBSSRDF non-SoE
+    branches, src/bssrdf.cuh:361-431). Returns beta [N,3]."""
+    from ..bssrdf.sample import eval_profile_table
+    t_rho = scene["bssrdf_rho"]
+    t_rad = scene["bssrdf_radius"]
+    t_prof = scene["bssrdf_profile"]
+    t_eff = scene["bssrdf_rho_eff"]
+
+    radius = length(d)
+    d_local = jnp.stack([dot(ss, d), dot(ts, d), dot(ns, d)], axis=-1) ** 2
+    radius_proj = jnp.sqrt(jnp.stack([
+        d_local[:, 1] + d_local[:, 2],
+        d_local[:, 2] + d_local[:, 0],
+        d_local[:, 0] + d_local[:, 1]], axis=-1))
+    axis_channel_pdf = jnp.stack([
+        jnp.abs(dot(ss, normal_next)) * (0.25 / 3.0),
+        jnp.abs(dot(ts, normal_next)) * (0.25 / 3.0),
+        jnp.abs(dot(ns, normal_next)) * (0.5 / 3.0)], axis=-1)
+
+    sigma_t2 = sigma_t * sigma_t
+    pdf = jnp.zeros(radius.shape, jnp.float32)
+    for axis in range(3):
+        axis_pdf = jnp.zeros(radius.shape, jnp.float32)
+        for ch in range(3):
+            r_opt = radius_proj[:, axis] * sigma_t[:, ch]
+            sr, re, valid = eval_profile_table(t_rho, t_rad, t_prof, t_eff,
+                                               rho[:, ch], r_opt)
+            channel_pdf = sr * sigma_t2[:, ch] / jnp.maximum(re, 1e-12)
+            channel_pdf = jnp.where(r_opt > 1e-4,
+                                    channel_pdf / jnp.maximum(r_opt, 1e-4),
+                                    channel_pdf)
+            axis_pdf = axis_pdf + jnp.where(valid,
+                                            jnp.maximum(0.0, channel_pdf), 0.0)
+        pdf = pdf + axis_pdf * axis_channel_pdf[:, axis]
+
+    srs = []
+    for ch in range(3):
+        r_opt = radius * sigma_t[:, ch]
+        sr, _, valid = eval_profile_table(t_rho, t_rad, t_prof, t_eff,
+                                          rho[:, ch], r_opt)
+        sr = jnp.where(r_opt > 1e-4, sr / jnp.maximum(r_opt, 1e-4), sr)
+        srs.append(jnp.where(valid, jnp.maximum(0.0, sr * sigma_t2[:, ch]),
+                             0.0))
+    Sr = jnp.stack(srs, axis=-1)
+    return jnp.minimum(Sr / jnp.maximum(pdf, 1e-20)[:, None], 10.0)
+
+
+def _sample_probe_ray(r1, r2, r3, normal, hitpoint, sigma_t, rho, vx, vy,
+                      scene=None, use_soe=True):
+    """sampleBSSRDFprobeRay (src/bssrdf.cuh:278-317); SoE path by default,
+    tabulated inverse-CDF path when use_soe=False.
+    Returns (orig, dir, ray_length, radius)."""
     ch = jnp.clip((r1 * 3.0).astype(jnp.int32), 0, 2)
     r1 = r1 * 3.0 - ch.astype(jnp.float32)
 
     axis_n = r1 < 0.5
     axis_x = (r1 >= 0.5) & (r1 < 0.75)
-    axis_y = r1 >= 0.75
 
     probe_dir = jnp.where(axis_n[:, None], normal,
                           jnp.where(axis_x[:, None], vx, vy))
@@ -96,12 +145,24 @@ def _sample_probe_ray(r1, r2, r3, normal, hitpoint, sigma_t, rho, vx, vy):
     st_ch = jnp.take_along_axis(sigma_t, ch[:, None], axis=1)[:, 0]
     st_ch = jnp.maximum(st_ch, 1e-12)
     rho_ch = jnp.take_along_axis(rho, ch[:, None], axis=1)[:, 0]
-    s = param_soe(rho_ch)
-    radius = -jnp.log(jnp.maximum(1.0 - r2 * 0.99, 1e-12)) / st_ch / s
-    radius_max = -jnp.log(0.01) / st_ch / s
-    x3 = r1 < 0.5
-    radius = jnp.where(x3, radius * 3.0, radius)
-    radius_max = jnp.where(x3, radius_max * 3.0, radius_max)
+    if use_soe:
+        s = param_soe(rho_ch)
+        radius = -jnp.log(jnp.maximum(1.0 - r2 * 0.99, 1e-12)) / st_ch / s
+        radius_max = -jnp.log(0.01) / st_ch / s
+        # the radius x3 only exists on the SoE path (src/bssrdf.cuh:304-307)
+        x3 = r1 < 0.5
+        radius = jnp.where(x3, radius * 3.0, radius)
+        radius_max = jnp.where(x3, radius_max * 3.0, radius_max)
+    else:
+        from ..bssrdf.sample import sample_bssrdf_radius_table
+        radius = sample_bssrdf_radius_table(
+            scene["bssrdf_rho"], scene["bssrdf_radius"],
+            scene["bssrdf_profile"], scene["bssrdf_cdf"],
+            st_ch, rho_ch, r2 * 0.99)
+        radius_max = sample_bssrdf_radius_table(
+            scene["bssrdf_rho"], scene["bssrdf_radius"],
+            scene["bssrdf_profile"], scene["bssrdf_cdf"],
+            st_ch, rho_ch, jnp.full(rho_ch.shape, 0.99, jnp.float32))
 
     phi = 2.0 * jnp.pi * r3
     ray_len = 2.0 * jnp.sqrt(jnp.maximum(
@@ -142,11 +203,13 @@ def bssrdf_scatter(scene, settings, rng, hitpoint, normal2, mat, mat_id,
     res_color = objcol
     last_vec = jnp.zeros((N, 3), jnp.float32)
 
+    use_soe = getattr(settings, "bssrdf_use_soe", True)
     for _ in range(settings.bssrdf_probes):
         rng, (r1, r2, r3, r4) = RaySampler.next_n(rng, 4)
         # ---- spawn a new probe ray where needed ----
         s_orig, s_dir, s_len, s_rad = _sample_probe_ray(
-            r1, r2, r3, normal2, hitpoint, sigma_t, rho, vx, vy)
+            r1, r2, r3, normal2, hitpoint, sigma_t, rho, vx, vy,
+            scene=scene, use_soe=use_soe)
         commit = need_new & select_this
         probe_hit_count = jnp.where(commit, hit_per_probe, probe_hit_count)
         select_this = jnp.where(need_new, False, select_this)
@@ -211,8 +274,12 @@ def bssrdf_scatter(scene, settings, rng, hitpoint, normal2, mat, mat_id,
     rng, (u1, u2) = RaySampler.next_n(rng, 2)
     next_dir = lambertian_sample(u1, u2, next_normal)
 
-    beta = calculate_bssrdf_soe(normal2, next_normal, sigma_t, rho,
-                                last_vec, vx, vy)
+    if use_soe:
+        beta = calculate_bssrdf_soe(normal2, next_normal, sigma_t, rho,
+                                    last_vec, vx, vy)
+    else:
+        beta = calculate_bssrdf_table(scene, normal2, next_normal, sigma_t,
+                                      rho, last_vec, vx, vy)
     mask_mul = mask_mul * beta
 
     # exit Fresnel factor (src/renderkernel.cu:808)

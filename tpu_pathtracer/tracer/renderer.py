@@ -25,6 +25,15 @@ from ..scene.camera import RenderCamera
 from .wavefront import RenderSettings, make_integrator
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=2)
+def _bssrdf_table_cached(g=0.0, eta=1.4):
+    from ..bssrdf.tabulate import compute_beam_diffusion_table
+    return compute_beam_diffusion_table(g=g, eta=eta)
+
+
 def generate_camera_rays(cam_vec, rng, pixel_x, pixel_y):
     """Primary ray generation: AA jitter + thin-lens DOF, exactly the
     pathTracingKernel sequence (src/renderkernel.cu:895-954).
@@ -122,6 +131,18 @@ class Renderer:
             "mat_table": jnp.asarray(pack_mat_table(mat_arrays)),
             "env_const": jnp.asarray(env_const, jnp.float32),
         }
+        if settings.has_bssrdf:
+            # PBD table (g=0, eta=1.4, 100x64), matching initBssrdfTable
+            # (src/main.cpp:408-415); used by the tabulated sampling path
+            # and available to the SoE path's tests
+            from ..bssrdf.tabulate import compute_beam_diffusion_table
+            tbl = _bssrdf_table_cached()
+            scene["bssrdf_rho"] = jnp.asarray(tbl.rho, jnp.float32)
+            scene["bssrdf_radius"] = jnp.asarray(tbl.radius, jnp.float32)
+            scene["bssrdf_profile"] = jnp.asarray(tbl.profile, jnp.float32)
+            scene["bssrdf_cdf"] = jnp.asarray(tbl.profile_cdf, jnp.float32)
+            scene["bssrdf_rho_eff"] = jnp.asarray(tbl.rho_eff, jnp.float32)
+
         from ..scene.texture import make_quad_texture
         if envmap is not None:
             env = np.asarray(envmap, np.float32)
@@ -275,6 +296,8 @@ def renderer_from_scene_desc(desc: SceneDesc, base_dir="", cache_dir=None):
         has_media=any(m.medium is not None for m in desc.materials),
         has_bssrdf=any(m.refltype == MAT_SUBSURFACE for m in desc.materials),
         use_distant_light=desc.use_distant_light,
+        distant_light_L=tuple(desc.distant_light_L),
+        distant_light_dir=tuple(desc.distant_light_dir),
     )
     return Renderer(fb, desc.materials, envmap=envmap, texture=texture,
                     width=desc.width, height=desc.height, settings=settings)

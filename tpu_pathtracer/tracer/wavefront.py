@@ -21,8 +21,10 @@ import jax
 import jax.numpy as jnp
 
 from ..core.vecmath import (
-    RAY_MIN, RAY_MAX, dot, dotk, normalize, reflect, barycentric,
+    RAY_MIN, RAY_MAX, INV_PI, dot, dotk, normalize, reflect, barycentric,
 )
+
+INV_PI_C = INV_PI
 from ..core.rng import RaySampler
 from ..scene.config import (
     MAT_EMIT, MAT_DIFF, MAT_GLASS, MAT_REFL, MAT_DIFF_REFL, MAT_FRESNEL,
@@ -52,6 +54,9 @@ class RenderSettings:
     use_distant_light: bool = False
     stack_depth: int = 64
     bssrdf_probes: int = 3   # maxLoopNum, src/renderkernel.cu:727
+    bssrdf_use_soe: bool = True  # USE_SOE, src/bssrdf.cuh:8
+    distant_light_L: tuple = (1.2, 1.2, 1.2)      # src/renderkernel.cu:521
+    distant_light_dir: tuple = (0.0, 1.3, -3.6)   # src/renderkernel.cu:522
     # traversal backend: "packet" = Pallas packet kernel (TPU),
     # "wavefront" = pure-JAX per-lane step machine, "auto" = packet on TPU
     traversal: str = "auto"
@@ -390,6 +395,31 @@ def make_integrator(settings: RenderSettings):
             mask = jnp.where(surf[:, None], mask * new_mul, mask)
             orig = jnp.where(surf[:, None], new_orig, orig)
             raydir = jnp.where(surf[:, None], new_dir, raydir)
+
+            # ---------- distant light importance sampling ----------
+            # (USE_DISTANT_LIGHT, src/renderkernel.cu:54,611-636,815-841:
+            # MAT_DIFF and BSSRDF-exit lanes fire a shadow ray toward the
+            # fixed distant light and add a power-heuristic-weighted term.
+            # Note the reference multiplies the already-albedo-scaled mask
+            # by f = objcol/pi again — quirk kept.)
+            if settings.use_distant_light:
+                ddis = normalize(jnp.asarray(settings.distant_light_dir,
+                                             jnp.float32))
+                ldis = jnp.asarray(settings.distant_light_L, jnp.float32)
+                diff_lane = surf & (mat["refltype"] == MAT_DIFF)
+                cos_th = dot(jnp.broadcast_to(ddis, raydir.shape), nl)
+                cand = diff_lane & (cos_th >= 0.0)
+                s_slot, s_t = trace_rays(
+                    scene, settings, orig, jnp.broadcast_to(ddis, raydir.shape),
+                    RAY_MIN, RAY_MAX, anyhit=True, active=cand)
+                lit = cand & (s_t > 1e10)
+                f = objcol * INV_PI_C
+                light_pdf = 1.0
+                scat_pdf = jnp.abs(cos_th) * INV_PI_C
+                w = (scat_pdf + light_pdf) / (scat_pdf * scat_pdf
+                                              + light_pdf * light_pdf)
+                contrib = mask * f * ldis * w[:, None]
+                accum = accum + jnp.where(lit[:, None], contrib, 0.0)
             lbn = jnp.where(surf, jnp.minimum(
                 lbn + binc, settings.bounce_max), lbn)
             active = active & ~(surf & term)
