@@ -195,10 +195,19 @@ def flatten_bvh(root: BVHNode, tri_index_array, tri_verts, tri_uv, tri_nrm,
     )
 
 
-def flatten_mesh_bvh(mesh, platform=None, params=None):
-    """Build + flatten in one go from a TriangleMesh."""
-    from .bvh import build_bvh
+def flatten_mesh_bvh(mesh, platform=None, params=None, use_native=True):
+    """Build + flatten in one go from a TriangleMesh. Uses the C++ builder
+    when available (same algorithm, ~100x faster); falls back to the Python
+    reference builder."""
     tv = mesh.tri_vertices()
-    root, tri_idx, _ = build_bvh(tv, platform, params)
+    root = tri_idx = None
+    if use_native:
+        from .native_build import build_bvh_native
+        res = build_bvh_native(tv, platform, params)
+        if res is not None:
+            root, tri_idx = res
+    if root is None:
+        from .bvh import build_bvh
+        root, tri_idx, _ = build_bvh(tv, platform, params)
     return flatten_bvh(root, tri_idx, tv, mesh.uv, mesh.normals,
                        mesh.material_ids)
