@@ -149,6 +149,10 @@ class Renderer:
             scene["envmap_quad"] = jnp.asarray(
                 make_quad_texture(env, wrap_u=False, wrap_v=False))
             scene["env_h"], scene["env_w"] = env.shape[0], env.shape[1]
+            if settings.env_importance_sampling:
+                from .envsample import build_env_distribution
+                for k, v in build_env_distribution(env).items():
+                    scene[k] = jnp.asarray(v)
         if texture is not None:
             tex = np.asarray(texture, np.float32)
             scene["texture_quad"] = jnp.asarray(

@@ -55,6 +55,9 @@ class RenderSettings:
     stack_depth: int = 64
     bssrdf_probes: int = 3   # maxLoopNum, src/renderkernel.cu:727
     bssrdf_use_soe: bool = True  # USE_SOE, src/bssrdf.cuh:8
+    # next-event estimation toward the envmap with MIS (BASELINE config 2);
+    # the reference is BSDF-sampling-only, which fireflies on sun disks
+    env_importance_sampling: bool = True
     distant_light_L: tuple = (1.2, 1.2, 1.2)      # src/renderkernel.cu:521
     distant_light_dir: tuple = (0.0, 1.3, -3.6)   # src/renderkernel.cu:522
     # traversal backend: "packet" = Pallas packet kernel (TPU),
@@ -342,7 +345,11 @@ def make_integrator(settings: RenderSettings):
             # gather every iteration.
             miss = surf & (hit_t > 1e10)
             miss_dir = jnp.where(miss[:, None], raydir, st["miss_dir"])
-            miss_mask = jnp.where(miss[:, None], mask, st["miss_mask"])
+            # env_mis carries the BSDF-side MIS weight when the previous
+            # vertex also did env next-event estimation
+            miss_mask = jnp.where(miss[:, None],
+                                  mask * st["env_mis"][:, None],
+                                  st["miss_mask"])
             active = active & ~miss
             surf = surf & ~miss
 
@@ -392,9 +399,42 @@ def make_integrator(settings: RenderSettings):
             new_dir = jnp.where(use_bs[:, None], bs_dir, next_dir)
             new_mul = jnp.where(use_bs[:, None], bs_mul, mask_mul)
 
+            mask_prev = mask
             mask = jnp.where(surf[:, None], mask * new_mul, mask)
             orig = jnp.where(surf[:, None], new_orig, orig)
             raydir = jnp.where(surf[:, None], new_dir, raydir)
+
+            # ---------- envmap next-event estimation + MIS ----------
+            env_mis = st["env_mis"]
+            if settings.use_envmap and settings.env_importance_sampling:
+                from .envsample import (
+                    sample_env_dir, env_pdf_of_dir, power_heuristic)
+                rng, (e1, e2) = RaySampler.next_n(rng, 2)
+                d_env, pdf_env = sample_env_dir(scene, e1, e2,
+                                                cam_env_rotation)
+                cos_e = dot(d_env, nl)
+                diff_lane = surf & (mat["refltype"] == MAT_DIFF)
+                cand = diff_lane & (cos_e > 0.0) & (pdf_env > 1e-12)
+                s_slot, s_t = trace_rays(scene, settings, orig, d_env,
+                                         RAY_MIN, RAY_MAX, anyhit=True,
+                                         active=cand)
+                lit = cand & (s_t > 1e10)
+                L_env = env_radiance(scene, settings, d_env,
+                                     cam_env_rotation)
+                f = mat["kd"][:, None] * objcol * INV_PI_C
+                pdf_b = jnp.maximum(cos_e, 0.0) * INV_PI_C
+                w = power_heuristic(pdf_env, pdf_b)
+                scale = cos_e / jnp.maximum(pdf_env, 1e-12) * w
+                accum = accum + jnp.where(
+                    lit[:, None], mask_prev * f * scale[:, None] * L_env, 0.0)
+                # complementary weight for the BSDF-sampled env hit on the
+                # NEXT segment of diffuse lanes
+                cos_n = jnp.maximum(dot(raydir, nl), 0.0)
+                pdf_bn = cos_n * INV_PI_C
+                pdf_en = env_pdf_of_dir(scene, raydir, cam_env_rotation)
+                env_mis = jnp.where(
+                    surf & diff_lane, power_heuristic(pdf_bn, pdf_en),
+                    jnp.where(surf, 1.0, env_mis))
 
             # ---------- distant light importance sampling ----------
             # (USE_DISTANT_LIGHT, src/renderkernel.cu:54,611-636,815-841:
@@ -439,6 +479,7 @@ def make_integrator(settings: RenderSettings):
                 "accum": accum, "active": active, "lbn": lbn,
                 "bounce": bounce, "medium_id": medium_id,
                 "miss_dir": miss_dir, "miss_mask": miss_mask,
+                "env_mis": env_mis,
             }
 
         st = {
@@ -447,6 +488,7 @@ def make_integrator(settings: RenderSettings):
             "bounce": bounce, "medium_id": medium_id,
             "miss_dir": jnp.zeros((N, 3), jnp.float32),
             "miss_mask": jnp.zeros((N, 3), jnp.float32),
+            "env_mis": jnp.ones((N,), jnp.float32),
         }
         st = jax.lax.while_loop(cond, body, st)
         # deferred environment contribution (once per path)
