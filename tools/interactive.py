@@ -1,0 +1,195 @@
+#!/usr/bin/env python
+"""Interactive progressive viewer in the terminal.
+
+Replaces the reference's GLUT window + mouse/keyboard handlers
+(src/main.cpp:717-760, src/MouseKeyboardInput.h) with an ANSI truecolor
+half-block display and termios raw input, keeping the same bindings:
+
+  w/a/s/d  move camera (goForward/strafe)     r/f  altitude up/down
+  arrows   yaw / pitch                        [ ]  orbit radius
+  g/h      aperture -/+                       t/y  focal distance +/-
+  space    reset accumulation (buffer_reset)  ,/.  save / load camera (.cam)
+  q / ESC  save output500.ppm and exit
+
+Any camera change resets the accumulation buffer, exactly like the
+reference's buffer_reset flag. Snapshots are written at 5 s and 50 s
+(output5.ppm / output50.ppm, parity with src/main.cpp:211-232), plus a
+once-per-second stats line (src/main.cpp:204-209).
+"""
+from __future__ import annotations
+
+import os
+import select
+import sys
+import termios
+import time
+import tty
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np  # noqa: E402
+
+
+def half_block_frame(img):
+    """img: uint8 [H,W,3] with H even -> ANSI string, 2 pixels per cell."""
+    H, W, _ = img.shape
+    rows = []
+    for y in range(0, H - 1, 2):
+        cells = []
+        for x in range(W):
+            t = img[y, x]
+            b = img[y + 1, x]
+            cells.append("\x1b[38;2;%d;%d;%dm\x1b[48;2;%d;%d;%dm▀"
+                         % (t[0], t[1], t[2], b[0], b[1], b[2]))
+        rows.append("".join(cells) + "\x1b[0m")
+    return "\n".join(rows)
+
+
+class RawInput:
+    def __enter__(self):
+        self.fd = sys.stdin.fileno()
+        self.old = termios.tcgetattr(self.fd)
+        tty.setcbreak(self.fd)
+        return self
+
+    def __exit__(self, *a):
+        termios.tcsetattr(self.fd, termios.TCSADRAIN, self.old)
+
+    def poll(self):
+        keys = []
+        while select.select([sys.stdin], [], [], 0)[0]:
+            ch = sys.stdin.read(1)
+            if ch == "\x1b":
+                if select.select([sys.stdin], [], [], 0.01)[0]:
+                    seq = sys.stdin.read(2)
+                    keys.append({"[A": "UP", "[B": "DOWN", "[C": "RIGHT",
+                                 "[D": "LEFT"}.get(seq, "ESC"))
+                else:
+                    keys.append("ESC")
+            else:
+                keys.append(ch)
+        return keys
+
+
+def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--demo", default="default")
+    ap.add_argument("--scene")
+    ap.add_argument("--size", type=int, default=128)
+    ap.add_argument("--cam", default="viewer.cam")
+    ap.add_argument("--cache-dir", default=".bvh_cache")
+    ap.add_argument("--batch", type=int, default=4,
+                    help="samples per device dispatch")
+    args = ap.parse_args()
+
+    from tpu_pathtracer.scene.demo import testobj_scene, default_camera
+    from tpu_pathtracer.scene.camera import InteractiveCamera
+    from tpu_pathtracer.tracer.renderer import Renderer
+    from tpu_pathtracer.core.image import write_ppm
+
+    W = H = args.size
+    fb, mats, envmap, texture = testobj_scene(cache_dir=args.cache_dir,
+                                              variant=args.demo)
+    renderer = Renderer(fb, mats, envmap=envmap, texture=texture,
+                        width=W, height=H)
+    icam = default_camera(W, H)
+    if os.path.exists(args.cam):
+        icam = InteractiveCamera.load_cam(args.cam)
+        icam.set_resolution(W, H)
+
+    accum = renderer.zeros_accum()
+    frame = 0
+    t_start = time.time()
+    wrote5 = wrote50 = False
+    last_stats = 0.0
+
+    # key bindings per src/MouseKeyboardInput.h:26-64
+    def apply(k):
+        scale = 0.1
+        if k == "w":
+            icam.go_forward(scale)
+        elif k == "s":
+            icam.go_forward(-scale)
+        elif k == "a":
+            icam.strafe(-scale)
+        elif k == "d":
+            icam.strafe(scale)
+        elif k == "r":
+            icam.change_altitude(scale)
+        elif k == "f":
+            icam.change_altitude(-scale)
+        elif k == "g":
+            icam.change_aperture_diameter(-scale)
+        elif k == "h":
+            icam.change_aperture_diameter(scale)
+        elif k == "t":
+            icam.change_focal_distance(scale)
+        elif k == "y":
+            icam.change_focal_distance(-scale)
+        elif k == "LEFT":
+            icam.change_yaw(0.02)
+        elif k == "RIGHT":
+            icam.change_yaw(-0.02)
+        elif k == "UP":
+            icam.change_pitch(0.02)
+        elif k == "DOWN":
+            icam.change_pitch(-0.02)
+        elif k == "[":
+            icam.change_radius(-scale)
+        elif k == "]":
+            icam.change_radius(scale)
+        elif k == ",":
+            icam.save_cam(args.cam)
+            return False
+        elif k == ".":
+            if os.path.exists(args.cam):
+                nonlocal_icam = InteractiveCamera.load_cam(args.cam)
+                icam.__dict__.update(nonlocal_icam.__dict__)
+        elif k == " ":
+            return True
+        else:
+            return False
+        return True  # camera changed -> reset accumulation
+
+    sys.stdout.write("\x1b[2J")  # clear
+    with RawInput() as inp:
+        while True:
+            reset = False
+            quit_ = False
+            for k in inp.poll():
+                if k in ("q", "ESC"):
+                    quit_ = True
+                else:
+                    reset = apply(k) or reset
+            if quit_:
+                break
+            if reset:
+                accum = renderer.zeros_accum()
+                frame = 0
+            rc = icam.build_render_camera()
+            accum = renderer.render_frames(accum, rc, frame + 1, args.batch)
+            frame += args.batch
+            img = renderer.accum_to_image(accum, frame)
+            sys.stdout.write("\x1b[H" + half_block_frame(img))
+            el = time.time() - t_start
+            if el - last_stats >= 1.0:
+                sys.stdout.write(
+                    "\n\x1b[0mtime %.1fs  frames %d  %.1f spp/s   "
+                    "[wasd/rf move, arrows look, g/h t/y lens, space reset, "
+                    "q quit]" % (el, frame, frame / el))
+                last_stats = el
+            sys.stdout.flush()
+            if el > 5 and not wrote5:
+                write_ppm("output5.ppm", renderer.accum_to_buffer(accum), frame)
+                wrote5 = True
+            if el > 50 and not wrote50:
+                write_ppm("output50.ppm", renderer.accum_to_buffer(accum), frame)
+                wrote50 = True
+
+    write_ppm("output500.ppm", renderer.accum_to_buffer(accum), max(frame, 1))
+    print("\nsaved output500.ppm (%d spp)" % frame)
+
+
+if __name__ == "__main__":
+    main()

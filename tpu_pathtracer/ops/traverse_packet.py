@@ -51,7 +51,7 @@ def _make_step(tab_ref, rays, anyhit):
     act = rays["act"]
 
     def step(st, stack_ref, base):
-        cur, sp, hit_slot, hit_t, done = st
+        cur, sp, hit_slot, hit_t, done = st  # done: int32 lanes (0/1)
         alive = cur != SENTINEL
         is_node = alive & (cur >= 0)
         is_tri = alive & (cur < 0)
@@ -76,7 +76,7 @@ def _make_step(tab_ref, rays, anyhit):
         m0 = sci(12)
         m1 = sci(13)
 
-        vote = act & ~done
+        vote = act & (done == 0)
 
         # ---- node interpretation: two slab tests ----
         c0lox = f0 * idx_ - oodx
@@ -131,8 +131,10 @@ def _make_step(tab_ref, rays, anyhit):
         hit_slot = jnp.where(tri_hit, m0, hit_slot)
         tri_last = m1 != 0
         if anyhit:
-            done = done | tri_hit
-            tri_stop = tri_last | ~jnp.any(act & ~done)
+            # `done` is carried as int32: Mosaic fails to legalize i1 vector
+            # loop carries (scf.yield layout error)
+            done = done | tri_hit.astype(jnp.int32)
+            tri_stop = tri_last | ~jnp.any(act & (done == 0))
         else:
             tri_stop = tri_last
 
@@ -191,7 +193,7 @@ def _kernel(tab_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
         cur0 = jnp.where(jnp.any(rays["act"]), jnp.int32(0), SENTINEL)
         states.append((cur0, jnp.int32(0),
                        jnp.full((sub, 128), -1, jnp.int32), hit_t0,
-                       jnp.zeros((sub, 128), bool)))
+                       jnp.zeros((sub, 128), jnp.int32)))
         steps.append(_make_step(tab_ref, rays, anyhit))
 
     def cond(c):
