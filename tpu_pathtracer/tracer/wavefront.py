@@ -333,6 +333,12 @@ def make_integrator(settings: RenderSettings):
             if settings.has_media:
                 rng, orig, raydir, mask, sampled_medium = medium_interaction(
                     scene, rng, orig, raydir, mask, hit_t, medium_id, active)
+                # scattering inside a medium extends the bounce budget (like
+                # the reference's specular events); dense media need many
+                # scatter events to cross
+                lbn = jnp.where(sampled_medium,
+                                jnp.minimum(lbn + 1, settings.bounce_max),
+                                lbn)
             else:
                 sampled_medium = jnp.zeros((N,), bool)
 
