@@ -47,13 +47,26 @@ class ShardedRenderer:
             for k, v in renderer.scene.items()
         }
 
+        # the Pallas packet kernel only runs on TPU devices; a CPU mesh
+        # (e.g. the multi-chip dry run on virtual devices) must use the
+        # pure-JAX traversal regardless of the process default backend
+        import dataclasses
+        from ..tracer.wavefront import make_integrator
+        plats = {d.platform for d in np.asarray(self.mesh.devices).ravel()}
+        integrate = None
+        if plats != {"tpu"} and renderer.settings.traversal in ("auto",
+                                                                "packet"):
+            integrate = make_integrator(dataclasses.replace(
+                renderer.settings, traversal="wavefront"))
+
         def frame_fn(scene, cam_vec, frame_hash, accum):
             def local(scene, cam_vec, frame_hash, accum_chunk):
                 idx = jax.lax.axis_index(self.axis)
                 chunk = accum_chunk.shape[0]
                 lane0 = (idx * chunk).astype(jnp.uint32)
                 return renderer._render_chunk(
-                    scene, cam_vec, frame_hash, lane0, accum_chunk)
+                    scene, cam_vec, frame_hash, lane0, accum_chunk,
+                    integrate=integrate)
 
             # check_vma=False: the integrator's while_loop carries start from
             # broadcast constants (unvarying) and become lane-varying after

@@ -1,0 +1,235 @@
+"""Path-regeneration wavefront integrator.
+
+The classic bounce-loop integrator (wavefront.make_integrator) runs every
+iteration at full width even when only the long glass paths survive —
+measured ~86 ms per late iteration at 1M lanes with <15% alive. This
+integrator instead keeps a constant-width pool of ALWAYS-ACTIVE paths:
+when a path terminates its radiance is scatter-added into the accumulation
+buffer and the lane immediately respawns with the next unspawned camera
+sample (possibly of a later frame). Total wave count ~= total path segments
+/ pool width — no full-width iteration is wasted on dead lanes. This is the
+"compact/regenerate" wavefront design (SURVEY.md §7 step 2; Laine et al.'s
+path regeneration), and is only possible because RNG is counter-based per
+(frame, pixel): a respawned lane reproduces exactly the stream the classic
+integrator would have used, so both integrators produce identical sample
+values (tests assert this).
+
+Media and BSSRDF lanes run through the same shade machinery as the classic
+integrator.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core.vecmath import RAY_MIN, RAY_MAX, INV_PI, dot, normalize
+from ..core.rng import RaySampler, wang_hash
+from ..scene.config import MAT_DIFF
+from .wavefront import (
+    RenderSettings, trace_rays, fetch_attributes, gather_material,
+    env_radiance, texture_radiance, shade,
+)
+from .traverse import woop_geometric_normal
+from .medium import medium_interaction
+from .bssrdf_shade import bssrdf_scatter
+from .renderer import generate_camera_rays
+
+
+def make_regen_integrator(settings: RenderSettings, width, height):
+    """Returns integrate_frames(scene, cam_vec, frame0, accum, n_frames)."""
+
+    def integrate_frames(scene, cam_vec, frame0, lane0, accum, n_frames):
+        N = accum.shape[0]
+        total = jnp.uint32(N * n_frames)
+
+        st = {
+            "accum": accum,
+            "next": jnp.uint32(0),
+            "active": jnp.zeros((N,), bool),
+            "orig": jnp.zeros((N, 3), jnp.float32),
+            "dir": jnp.zeros((N, 3), jnp.float32).at[:, 2].set(1.0),
+            "mask": jnp.zeros((N, 3), jnp.float32),
+            "accu": jnp.zeros((N, 3), jnp.float32),
+            "rng": jnp.zeros((N,), jnp.uint32),
+            "lbn": jnp.zeros((N,), jnp.int32),
+            "bounce": jnp.zeros((N,), jnp.int32),
+            "pixel": jnp.zeros((N,), jnp.int32),
+            "medium_id": jnp.full((N,), -1, jnp.int32),
+            "env_mis": jnp.ones((N,), jnp.float32),
+        }
+
+        def cond(st):
+            return (st["next"] < total) | jnp.any(st["active"])
+
+        def body(st):
+            accum = st["accum"]
+            active = st["active"]
+
+            # ---------------- respawn dead lanes ----------------
+            dead = ~active
+            rank = jnp.cumsum(dead.astype(jnp.uint32)) - dead.astype(jnp.uint32)
+            sid = st["next"] + rank
+            spawn = dead & (sid < total)
+            pixel_new = (sid % jnp.uint32(N)).astype(jnp.int32)
+            frame_new = frame0 + (sid // jnp.uint32(N)).astype(jnp.uint32)
+            pixel_glob = pixel_new + lane0.astype(jnp.int32)
+            rng_new = RaySampler.init(wang_hash(frame_new),
+                                      pixel_glob.astype(jnp.uint32))
+            px = jnp.take(scene["lane_px"], pixel_glob).astype(jnp.float32)
+            py = jnp.take(scene["lane_py"], pixel_glob).astype(jnp.float32)
+            rng_new, o_new, d_new = generate_camera_rays(cam_vec, rng_new,
+                                                         px, py)
+            sel = spawn[:, None]
+            orig = jnp.where(sel, o_new, st["orig"])
+            raydir = jnp.where(sel, d_new, st["dir"])
+            mask = jnp.where(sel, 1.0, st["mask"])
+            accu = jnp.where(sel, 0.0, st["accu"])
+            rng = jnp.where(spawn, rng_new, st["rng"])
+            lbn = jnp.where(spawn, settings.bounce_min, st["lbn"])
+            bounce = jnp.where(spawn, 0, st["bounce"])
+            pixel = jnp.where(spawn, pixel_new, st["pixel"])
+            medium_id = jnp.where(spawn, -1, st["medium_id"])
+            env_mis = jnp.where(spawn, 1.0, st["env_mis"])
+            nxt = st["next"] + jnp.sum(dead & (sid < total),
+                                       dtype=jnp.uint32)
+            active = active | spawn
+
+            # ---------------- one wavefront segment ----------------
+            # a single wave-level RNG draw keeps lanes independent; all
+            # draws below consume the per-lane stream exactly like the
+            # classic integrator
+            hit_slot, hit_t = trace_rays(scene, settings, orig, raydir,
+                                         RAY_MIN, RAY_MAX, anyhit=False,
+                                         active=active)
+
+            if settings.has_media:
+                rng, orig, raydir, mask, sampled_medium = medium_interaction(
+                    scene, rng, orig, raydir, mask, hit_t, medium_id, active)
+                lbn = jnp.where(sampled_medium,
+                                jnp.minimum(lbn + 1, settings.bounce_max),
+                                lbn)
+            else:
+                sampled_medium = jnp.zeros((N,), bool)
+
+            surf = active & ~sampled_medium
+            miss = surf & (hit_t > 1e10)
+            env = env_radiance(scene, settings, raydir, cam_vec[15])
+            accu = accu + jnp.where(miss[:, None],
+                                    mask * env_mis[:, None] * env, 0.0)
+            surf = surf & ~miss
+
+            hitpoint = orig + raydir * hit_t[:, None]
+            hit_uv, smooth_n, mat_id = fetch_attributes(scene, hit_slot,
+                                                        hitpoint)
+            mat = gather_material(scene, mat_id)
+            tri_n = woop_geometric_normal(scene["prims"],
+                                          scene["num_nodes"], hit_slot)
+            use_sn = mat["useNormal"] != 0
+            n = normalize(jnp.where(use_sn[:, None], smooth_n, tri_n))
+            objcol = mat["objcol"]
+            if settings.use_texture:
+                tex = texture_radiance(scene, hit_uv)
+                objcol = jnp.where((mat["useTexture"] != 0)[:, None], tex,
+                                   objcol)
+            into = dot(n, raydir) < 0.0
+            nl = jnp.where(into[:, None], n, -n)
+            accu = accu + jnp.where(surf[:, None], mask * mat["emit"], 0.0)
+
+            rng, next_dir, mask_mul, offset, term, binc, aux = shade(
+                scene, settings, rng, raydir, n, nl, into, mat, objcol)
+
+            if settings.has_bssrdf:
+                ss_lanes = surf & aux["ss_refract"]
+                rng, bs_orig, bs_dir, bs_mul, bs_ok = bssrdf_scatter(
+                    scene, settings, rng, hitpoint, aux["ss_normal"], mat,
+                    mat_id, objcol, ss_lanes)
+                use_bs = ss_lanes & bs_ok
+            else:
+                use_bs = jnp.zeros((N,), bool)
+                bs_orig = hitpoint
+                bs_dir = next_dir
+                bs_mul = mask_mul
+
+            new_orig = hitpoint + nl * (offset * RAY_MIN)[:, None]
+            new_orig = jnp.where(use_bs[:, None], bs_orig, new_orig)
+            new_dir = jnp.where(use_bs[:, None], bs_dir, next_dir)
+            new_mul = jnp.where(use_bs[:, None], bs_mul, mask_mul)
+
+            mask_prev = mask
+            mask = jnp.where(surf[:, None], mask * new_mul, mask)
+            orig = jnp.where(surf[:, None], new_orig, orig)
+            raydir = jnp.where(surf[:, None], new_dir, raydir)
+
+            if settings.use_envmap and settings.env_importance_sampling:
+                from .envsample import (
+                    sample_env_dir, env_pdf_of_dir, power_heuristic)
+                rng, (e1, e2) = RaySampler.next_n(rng, 2)
+                d_env, pdf_env = sample_env_dir(scene, e1, e2, cam_vec[15])
+                cos_e = dot(d_env, nl)
+                diff_lane = surf & (mat["refltype"] == MAT_DIFF)
+                cand = diff_lane & (cos_e > 0.0) & (pdf_env > 1e-12)
+                s_slot, s_t = trace_rays(scene, settings, orig, d_env,
+                                         RAY_MIN, RAY_MAX, anyhit=True,
+                                         active=cand)
+                lit = cand & (s_t > 1e10)
+                L_env = env_radiance(scene, settings, d_env, cam_vec[15])
+                f = mat["kd"][:, None] * objcol * INV_PI
+                pdf_b = jnp.maximum(cos_e, 0.0) * INV_PI
+                w = power_heuristic(pdf_env, pdf_b)
+                scale = cos_e / jnp.maximum(pdf_env, 1e-12) * w
+                accu = accu + jnp.where(
+                    lit[:, None], mask_prev * f * scale[:, None] * L_env, 0.0)
+                cos_n = jnp.maximum(dot(raydir, nl), 0.0)
+                pdf_en = env_pdf_of_dir(scene, raydir, cam_vec[15])
+                env_mis = jnp.where(
+                    surf & diff_lane,
+                    power_heuristic(cos_n * INV_PI, pdf_en),
+                    jnp.where(surf, 1.0, env_mis))
+
+            if settings.use_distant_light:
+                ddis = normalize(jnp.asarray(settings.distant_light_dir,
+                                             jnp.float32))
+                ldis = jnp.asarray(settings.distant_light_L, jnp.float32)
+                diff_lane = surf & (mat["refltype"] == MAT_DIFF)
+                cos_th = dot(jnp.broadcast_to(ddis, raydir.shape), nl)
+                cand = diff_lane & (cos_th >= 0.0)
+                s_slot, s_t = trace_rays(
+                    scene, settings, orig,
+                    jnp.broadcast_to(ddis, raydir.shape),
+                    RAY_MIN, RAY_MAX, anyhit=True, active=cand)
+                lit = cand & (s_t > 1e10)
+                f = objcol * INV_PI
+                pdf_s = jnp.abs(cos_th) * INV_PI
+                w = (pdf_s + 1.0) / (pdf_s * pdf_s + 1.0)
+                accu = accu + jnp.where(lit[:, None],
+                                        mask * f * ldis * w[:, None], 0.0)
+
+            lbn = jnp.where(surf, jnp.minimum(lbn + binc,
+                                              settings.bounce_max), lbn)
+            if settings.has_media:
+                entered = surf & aux["glass_refract"] & into \
+                    & (mat["has_medium"] != 0)
+                left = surf & aux["glass_refract"] & ~into
+                medium_id = jnp.where(entered, mat_id, medium_id)
+                medium_id = jnp.where(left, -1, medium_id)
+
+            bounce = jnp.where(active, bounce + 1, bounce)
+            finished = active & (
+                miss | (surf & term) | (bounce >= lbn)
+                | (bounce >= settings.bounce_max))
+            # scatter-add completed paths into the image
+            accum = accum.at[pixel].add(
+                jnp.where(finished[:, None], accu, 0.0))
+            active = active & ~finished
+
+            return {
+                "accum": accum, "next": nxt, "active": active,
+                "orig": orig, "dir": raydir, "mask": mask, "accu": accu,
+                "rng": rng, "lbn": lbn, "bounce": bounce, "pixel": pixel,
+                "medium_id": medium_id, "env_mis": env_mis,
+            }
+
+        st = jax.lax.while_loop(cond, body, st)
+        return st["accum"]
+
+    return integrate_frames

@@ -195,8 +195,10 @@ class Renderer:
         self.scene["lane_py"] = jnp.asarray(np.pad(self._lane_py, (0, n_pad)))
 
     # ------------------------------------------------------------------
-    def _render_chunk(self, scene, cam_vec, frame_hash, lane0, accum_chunk):
+    def _render_chunk(self, scene, cam_vec, frame_hash, lane0, accum_chunk,
+                      integrate=None):
         """Render 1 spp for lanes [lane0, lane0 + chunk) and accumulate."""
+        integrate = integrate if integrate is not None else self._integrate
         n = accum_chunk.shape[0]
         lane_ids = lane0 + jnp.arange(n, dtype=jnp.uint32)
         rng = RaySampler.init(frame_hash, lane_ids)
@@ -209,14 +211,17 @@ class Renderer:
         sl = jax.lax.dynamic_slice(scene["lane_py"], (lane0.astype(jnp.int32),), (n,))
         pixel_y = sl.astype(jnp.float32)
         rng, orig, raydir = generate_camera_rays(cam_vec, rng, pixel_x, pixel_y)
-        rng, radiance = self._integrate(scene, rng, orig, raydir,
-                                        cam_vec[15])
+        rng, radiance = integrate(scene, rng, orig, raydir, cam_vec[15])
         return accum_chunk + radiance
 
     def _render_frames_chunk(self, scene, cam_vec, frame0, lane0,
                              accum_chunk, *, n_frames):
         """Accumulate n_frames progressive samples in ONE device program
         (amortizes dispatch latency across samples)."""
+        if self.settings.integrator == "regen":
+            from .regen import make_regen_integrator
+            fn = make_regen_integrator(self.settings, self.width, self.height)
+            return fn(scene, cam_vec, frame0, lane0, accum_chunk, n_frames)
         from ..core.rng import wang_hash
 
         def body(i, acc):

@@ -58,6 +58,9 @@ class RenderSettings:
     # next-event estimation toward the envmap with MIS (BASELINE config 2);
     # the reference is BSDF-sampling-only, which fireflies on sun disks
     env_importance_sampling: bool = True
+    # integrator: "bounce" = classic full-width bounce loop, "regen" = path
+    # regeneration (constant-width always-active pool; see tracer/regen.py)
+    integrator: str = "regen"
     distant_light_L: tuple = (1.2, 1.2, 1.2)      # src/renderkernel.cu:521
     distant_light_dir: tuple = (0.0, 1.3, -3.6)   # src/renderkernel.cu:522
     # traversal backend: "packet" = Pallas packet kernel (TPU),
