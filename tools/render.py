@@ -72,10 +72,13 @@ def main():
                                             cache_dir=args.cache_dir)
         cam_file = desc.camFile
     else:
-        from tpu_pathtracer.scene.demo import testobj_scene
+        from tpu_pathtracer.scene.demo import testobj_scene, head_scene
         from tpu_pathtracer.tracer.renderer import Renderer
-        fb, mats, envmap, texture = testobj_scene(
-            cache_dir=args.cache_dir, variant=args.demo or "default")
+        if args.demo == "head":
+            fb, mats, envmap, texture = head_scene(cache_dir=args.cache_dir)
+        else:
+            fb, mats, envmap, texture = testobj_scene(
+                cache_dir=args.cache_dir, variant=args.demo or "default")
         renderer = Renderer(fb, mats, envmap=envmap, texture=texture,
                             width=W, height=H)
         cam_file = None

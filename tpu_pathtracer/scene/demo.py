@@ -69,3 +69,53 @@ def testobj_scene(cache_dir=None, variant="default"):
     envmap = procedural.make_sky_envmap()
     texture = procedural.make_checker_texture()
     return fb, mats, envmap, texture
+
+
+def head_scene(cache_dir=None):
+    """The 'head scene' analog (reference src/scenes.txt:8-11: head.ply +
+    albedo map + MAT_SKIN/BSSRDF): a displaced-blob mesh round-tripped
+    through the binary PLY loader, subsurface skin material, on a diffuse
+    ground."""
+    import os
+    import tempfile
+    import numpy as np
+    from .mesh import TriangleMesh
+    from .plyloader import write_ply_binary, load_ply
+
+    blob = procedural.make_uv_sphere((0.0, 1.0, 0.0), 0.9, 0,
+                                     n_lat=28, n_lon=56)
+    # smooth displacement for a head-ish organic silhouette
+    v = blob.vertices.copy()
+    c = np.array([0.0, 1.0, 0.0], np.float32)
+    r = v - c
+    disp = (0.10 * np.sin(3.0 * v[:, 0] * 2.1)
+            * np.cos(2.0 * v[:, 1]) * np.sin(1.7 * v[:, 2] + 0.5)
+            + 0.06 * np.sin(5.0 * v[:, 1] + 1.3))
+    ln = np.linalg.norm(r, axis=-1, keepdims=True)
+    v = c + r * (1.0 + disp[:, None] / np.maximum(ln, 1e-6))
+    blob = TriangleMesh(v.astype(np.float32), blob.indices, blob.uv,
+                        blob.normals, blob.material_ids)
+    from .mesh import compute_face_normals
+    fn = compute_face_normals(blob)
+    blob.normals[:] = fn[:, None, :]
+
+    # round-trip through the PLY format (exercises the loader end to end)
+    ply_dir = cache_dir or tempfile.gettempdir()
+    os.makedirs(ply_dir, exist_ok=True)
+    ply_path = os.path.join(ply_dir, "head_demo.ply")
+    write_ply_binary(ply_path, blob)
+    head = load_ply(ply_path)
+    head.material_ids[:] = 1
+
+    ground = procedural.make_plane((0, 0, 0), 20.0, 20.0, 0, uv_scale=8.0)
+    mesh = TriangleMesh.concatenate([ground, head])
+    fb = load_or_build(mesh, cache_dir=cache_dir)
+    mats = [MatDesc(refltype=MAT_DIFF, useTexture=True),
+            # skin-ish subsurface (scenes.txt bssrdf face recipe: alphax 0.5,
+            # F0 0.04, etaT 1.4)
+            MatDesc(refltype=MAT_SUBSURFACE, objcol=(0.85, 0.67, 0.55),
+                    alphax=0.5, etaT=1.4, mfp=(0.25, 0.14, 0.10), ks=0.2,
+                    F0=(0.04, 0.04, 0.04))]
+    envmap = procedural.make_sky_envmap()
+    texture = procedural.make_checker_texture()
+    return fb, mats, envmap, texture

@@ -44,6 +44,7 @@ def make_regen_integrator(settings: RenderSettings, width, height):
 
         st = {
             "accum": accum,
+            "waves": jnp.uint32(0),
             "next": jnp.uint32(0),
             "active": jnp.zeros((N,), bool),
             "orig": jnp.zeros((N, 3), jnp.float32),
@@ -223,13 +224,14 @@ def make_regen_integrator(settings: RenderSettings, width, height):
             active = active & ~finished
 
             return {
-                "accum": accum, "next": nxt, "active": active,
+                "accum": accum, "waves": st["waves"] + 1,
+                "next": nxt, "active": active,
                 "orig": orig, "dir": raydir, "mask": mask, "accu": accu,
                 "rng": rng, "lbn": lbn, "bounce": bounce, "pixel": pixel,
                 "medium_id": medium_id, "env_mis": env_mis,
             }
 
         st = jax.lax.while_loop(cond, body, st)
-        return st["accum"]
+        return st["accum"], st["waves"]
 
     return integrate_frames

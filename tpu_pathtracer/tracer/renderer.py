@@ -221,7 +221,9 @@ class Renderer:
         if self.settings.integrator == "regen":
             from .regen import make_regen_integrator
             fn = make_regen_integrator(self.settings, self.width, self.height)
-            return fn(scene, cam_vec, frame0, lane0, accum_chunk, n_frames)
+            acc, _waves = fn(scene, cam_vec, frame0, lane0, accum_chunk,
+                             n_frames)
+            return acc
         from ..core.rng import wang_hash
 
         def body(i, acc):
