@@ -240,10 +240,23 @@ class Renderer:
         (the reference increments before rendering, src/main.cpp:167)."""
         return self.render_frames(accum, camera, frame_number, 1)
 
+    # max samples per device dispatch: very long single device programs can
+    # get the (tunneled) TPU worker killed by its watchdog
+    MAX_FRAMES_PER_DISPATCH = 32
+
     def render_frames(self, accum, camera: RenderCamera, frame_start: int,
                       n_frames: int):
         """Accumulate n_frames samples per pixel in as few device dispatches
         as possible (frame numbers frame_start .. frame_start+n_frames-1)."""
+        cap = self.MAX_FRAMES_PER_DISPATCH
+        if n_frames > cap:
+            done = 0
+            while done < n_frames:
+                step = min(cap, n_frames - done)
+                accum = self.render_frames(accum, camera,
+                                           frame_start + done, step)
+                done += step
+            return accum
         cam_vec = jnp.asarray(camera.as_array())
         f0 = jnp.uint32(frame_start)
         n = accum.shape[0]
