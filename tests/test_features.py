@@ -96,3 +96,30 @@ def test_bssrdf_renders_finite_and_bright(use_soe):
     center = img[H // 2 - 4:H // 2 + 4, W // 2 - 4:W // 2 + 4].mean()
     assert center > 0.02, "subsurface sphere must return light (soe=%s)" % use_soe
     assert center < 3.0, "subsurface brightness sane"
+
+
+def test_bssrdf_exit_distant_light():
+    """The distant light must reach subsurface material through the exit-
+    point NEE (reference src/renderkernel.cu:815-841): with a black
+    environment, the only light is the distant source."""
+    W = H = 32
+    sphere = procedural.make_uv_sphere((0, 0.0, 0), 1.0, 1, n_lat=10, n_lon=14)
+    plane = procedural.make_plane((0, -1.0, 0), 20, 20, 0)
+    fb = flatten_mesh_bvh(TriangleMesh.concatenate([plane, sphere]))
+    from tpu_pathtracer.scene.config import MAT_SUBSURFACE
+    mats = [MatDesc(refltype=MAT_DIFF, objcol=(0.6, 0.6, 0.6)),
+            MatDesc(refltype=MAT_SUBSURFACE, objcol=(0.8, 0.75, 0.7),
+                    alphax=0.3, etaT=1.4, mfp=(0.3, 0.25, 0.2), ks=0.2)]
+    s = RenderSettings(bounce_min=3, bounce_max=8, use_envmap=False,
+                       use_texture=False, has_bssrdf=True,
+                       use_distant_light=True,
+                       distant_light_dir=(0.3, 1.0, 0.4),
+                       distant_light_L=(3.0, 3.0, 3.0))
+    r = Renderer(fb, mats, width=W, height=H, settings=s,
+                 env_const=(0.0, 0.0, 0.0))
+    rc = default_camera(W, H, pitch=0.3, radius=3.5,
+                        center=(0, 0, 0)).build_render_camera()
+    img = r.accum_to_buffer(_render(r, rc, 24))
+    assert np.all(np.isfinite(img))
+    center = img[H // 2 - 4:H // 2 + 4, W // 2 - 4:W // 2 + 4].mean()
+    assert center > 0.005, "exit-point NEE must deliver distant light"

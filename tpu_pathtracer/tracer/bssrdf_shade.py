@@ -282,11 +282,14 @@ def bssrdf_scatter(scene, settings, rng, hitpoint, normal2, mat, mat_id,
                                       rho, last_vec, vx, vy)
     mask_mul = mask_mul * beta
 
-    # exit Fresnel factor (src/renderkernel.cu:808)
+    # exit Fresnel factor (src/renderkernel.cu:808); the pre-outS product is
+    # the reference's importanceSamplingMask (:805), needed by the
+    # distant-light NEE at the exit point (:815-841)
+    is_mul = mask_mul
     eta_t = mat["etaT"]
     out_s = (1.0 - fresnel_dielectric(dot(next_dir, next_normal), 1.0, eta_t)) \
         / (1.0 - 2.0 * fresnel_moment_1(1.0 / eta_t))
     mask_mul = mask_mul * out_s[:, None]
 
     new_orig = res_point + RAY_MIN * next_normal
-    return rng, new_orig, next_dir, mask_mul, ok
+    return rng, new_orig, next_dir, mask_mul, ok, is_mul, next_normal

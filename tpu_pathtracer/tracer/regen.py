@@ -141,7 +141,8 @@ def make_regen_integrator(settings: RenderSettings, width, height):
 
             if settings.has_bssrdf:
                 ss_lanes = surf & aux["ss_refract"]
-                rng, bs_orig, bs_dir, bs_mul, bs_ok = bssrdf_scatter(
+                (rng, bs_orig, bs_dir, bs_mul, bs_ok, bs_is_mul,
+                 bs_normal) = bssrdf_scatter(
                     scene, settings, rng, hitpoint, aux["ss_normal"], mat,
                     mat_id, objcol, ss_lanes)
                 use_bs = ss_lanes & bs_ok
@@ -150,6 +151,8 @@ def make_regen_integrator(settings: RenderSettings, width, height):
                 bs_orig = hitpoint
                 bs_dir = next_dir
                 bs_mul = mask_mul
+                bs_is_mul = mask_mul
+                bs_normal = nl
 
             new_orig = hitpoint + nl * (offset * RAY_MIN)[:, None]
             new_orig = jnp.where(use_bs[:, None], bs_orig, new_orig)
@@ -188,22 +191,41 @@ def make_regen_integrator(settings: RenderSettings, width, height):
                     jnp.where(surf, 1.0, env_mis))
 
             if settings.use_distant_light:
+                from ..materials.fresnel import (
+                    fresnel_dielectric, fresnel_moment_1)
                 ddis = normalize(jnp.asarray(settings.distant_light_dir,
                                              jnp.float32))
                 ldis = jnp.asarray(settings.distant_light_L, jnp.float32)
                 diff_lane = surf & (mat["refltype"] == MAT_DIFF)
                 cos_th = dot(jnp.broadcast_to(ddis, raydir.shape), nl)
                 cand = diff_lane & (cos_th >= 0.0)
+                # BSSRDF exit points also sample the distant light
+                # (src/renderkernel.cu:815-841)
+                bs_lane = surf & use_bs
+                cos_b = dot(jnp.broadcast_to(ddis, raydir.shape),
+                            normalize(bs_normal))
+                cand_b = bs_lane & (cos_b >= 0.0)
                 s_slot, s_t = trace_rays(
                     scene, settings, orig,
                     jnp.broadcast_to(ddis, raydir.shape),
-                    RAY_MIN, RAY_MAX, anyhit=True, active=cand)
+                    RAY_MIN, RAY_MAX, anyhit=True, active=cand | cand_b)
                 lit = cand & (s_t > 1e10)
                 f = objcol * INV_PI
                 pdf_s = jnp.abs(cos_th) * INV_PI
                 w = (pdf_s + 1.0) / (pdf_s * pdf_s + 1.0)
                 accu = accu + jnp.where(lit[:, None],
                                         mask * f * ldis * w[:, None], 0.0)
+                lit_b = cand_b & (s_t > 1e10)
+                eta_t = mat["etaT"]
+                surface_f = ((1.0 - fresnel_dielectric(
+                    jnp.abs(cos_b), 1.0, eta_t))
+                    / (1.0 - 2.0 * fresnel_moment_1(1.0 / eta_t))) * INV_PI
+                pdf_b2 = jnp.abs(cos_b) * INV_PI
+                w_b = (pdf_b2 + 1.0) / (pdf_b2 * pdf_b2 + 1.0)
+                accu = accu + jnp.where(
+                    lit_b[:, None],
+                    mask_prev * bs_is_mul * (surface_f * w_b)[:, None] * ldis,
+                    0.0)
 
             lbn = jnp.where(surf, jnp.minimum(lbn + binc,
                                               settings.bounce_max), lbn)

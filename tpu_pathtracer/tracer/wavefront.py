@@ -389,7 +389,8 @@ def make_integrator(settings: RenderSettings):
             # ---------- BSSRDF probe machinery ----------
             if settings.has_bssrdf:
                 ss_lanes = surf & aux["ss_refract"]
-                rng, bs_orig, bs_dir, bs_mul, bs_ok = bssrdf_scatter(
+                (rng, bs_orig, bs_dir, bs_mul, bs_ok, bs_is_mul,
+                 bs_normal) = bssrdf_scatter(
                     scene, settings, rng, hitpoint, aux["ss_normal"], mat,
                     mat_id, objcol, ss_lanes)
                 # lanes whose probe found a surface continue from there;
@@ -402,6 +403,8 @@ def make_integrator(settings: RenderSettings):
                 bs_orig = hitpoint
                 bs_dir = next_dir
                 bs_mul = mask_mul
+                bs_is_mul = mask_mul
+                bs_normal = nl
 
             new_orig = hitpoint + nl * (offset * RAY_MIN)[:, None]
             new_orig = jnp.where(use_bs[:, None], bs_orig, new_orig)
@@ -452,15 +455,23 @@ def make_integrator(settings: RenderSettings):
             # Note the reference multiplies the already-albedo-scaled mask
             # by f = objcol/pi again — quirk kept.)
             if settings.use_distant_light:
+                from ..materials.fresnel import (
+                    fresnel_dielectric, fresnel_moment_1)
                 ddis = normalize(jnp.asarray(settings.distant_light_dir,
                                              jnp.float32))
                 ldis = jnp.asarray(settings.distant_light_L, jnp.float32)
                 diff_lane = surf & (mat["refltype"] == MAT_DIFF)
                 cos_th = dot(jnp.broadcast_to(ddis, raydir.shape), nl)
                 cand = diff_lane & (cos_th >= 0.0)
+                # BSSRDF exit points also sample the distant light
+                # (src/renderkernel.cu:815-841)
+                bs_lane = surf & use_bs
+                cos_b = dot(jnp.broadcast_to(ddis, raydir.shape),
+                            normalize(bs_normal))
+                cand_b = bs_lane & (cos_b >= 0.0)
                 s_slot, s_t = trace_rays(
                     scene, settings, orig, jnp.broadcast_to(ddis, raydir.shape),
-                    RAY_MIN, RAY_MAX, anyhit=True, active=cand)
+                    RAY_MIN, RAY_MAX, anyhit=True, active=cand | cand_b)
                 lit = cand & (s_t > 1e10)
                 f = objcol * INV_PI_C
                 light_pdf = 1.0
@@ -469,6 +480,17 @@ def make_integrator(settings: RenderSettings):
                                               + light_pdf * light_pdf)
                 contrib = mask * f * ldis * w[:, None]
                 accum = accum + jnp.where(lit[:, None], contrib, 0.0)
+                lit_b = cand_b & (s_t > 1e10)
+                eta_t = mat["etaT"]
+                surface_f = ((1.0 - fresnel_dielectric(
+                    jnp.abs(cos_b), 1.0, eta_t))
+                    / (1.0 - 2.0 * fresnel_moment_1(1.0 / eta_t))) * INV_PI_C
+                pdf_b2 = jnp.abs(cos_b) * INV_PI_C
+                w_b = (pdf_b2 + 1.0) / (pdf_b2 * pdf_b2 + 1.0)
+                accum = accum + jnp.where(
+                    lit_b[:, None],
+                    mask_prev * bs_is_mul * (surface_f * w_b)[:, None] * ldis,
+                    0.0)
             lbn = jnp.where(surf, jnp.minimum(
                 lbn + binc, settings.bounce_max), lbn)
             active = active & ~(surf & term)
