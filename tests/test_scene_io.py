@@ -143,3 +143,31 @@ def test_reference_cam_file_parses():
     assert 0.2 <= cam.radius <= 100.0
     assert abs(cam.pitch) <= 1.55
     assert cam.resolution[0] > 0
+
+
+def test_hdr_old_style_runs(tmp_path):
+    # old-style RLE: (1,1,1,count) repeats the previous pixel
+    import struct
+    w, h = 8, 2
+    with open(tmp_path / "o.hdr", "wb") as f:
+        f.write(b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n")
+        f.write(b"-Y %d +X %d\n" % (h, w))
+        for _ in range(h):
+            f.write(struct.pack("BBBB", 100, 50, 25, 130))  # 1 literal pixel
+            f.write(struct.pack("BBBB", 1, 1, 1, 7))        # repeat x7
+    img = read_hdr(str(tmp_path / "o.hdr"))
+    assert img.shape == (h, w, 3)
+    assert np.all(img == img[0, 0])
+    scale = np.ldexp(1.0, 130 - 136)
+    np.testing.assert_allclose(img[0, 0], np.array([100, 50, 25]) * scale,
+                               rtol=1e-6)
+
+
+def test_reference_checker_png_loads():
+    # the actual texture asset shipped with the reference
+    from tpu_pathtracer.scene.texture import load_texture
+    tex = load_texture("/root/reference/data/Checker.png")
+    assert tex.ndim == 3 and tex.shape[2] == 3
+    assert tex.dtype == np.float32
+    assert 0.0 <= tex.min() and tex.max() <= 1.0
+    assert tex.std() > 0.1, "checker has contrast"
