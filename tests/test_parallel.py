@@ -48,3 +48,36 @@ def test_sharded_render_matches_single_device():
 
     # identical lanes, identical RNG -> bitwise-equal radiance
     np.testing.assert_allclose(a1, a2, atol=1e-5)
+
+
+def test_sharded_regen_matches_single_device():
+    """The DEFAULT integrator (path regeneration) sharded over 8 devices:
+    each shard runs its own constant-width pool over its own lane range.
+    Counter-based per-(frame, global pixel) RNG makes every sample value
+    identical to the single-device pool; only per-pixel accumulation order
+    differs (float add order), hence the small tolerance."""
+    mesh = procedural.make_test_scene()
+    fb = flatten_mesh_bvh(mesh)
+    mats = [MatDesc(refltype=MAT_DIFF), MatDesc(refltype=MAT_DIFF),
+            MatDesc(refltype=MAT_GLASS), MatDesc(refltype=MAT_REFL)]
+    env = procedural.make_sky_envmap(64, 32)
+    W = H = 32
+    st = RenderSettings(use_envmap=True, use_texture=False,
+                        integrator="regen")
+    rc = default_camera(W, H).build_render_camera()
+
+    devs = _cpu_devices(8)
+    with jax.default_device(devs[0]):
+        r1 = Renderer(fb, mats, envmap=env, width=W, height=H, settings=st)
+        a1 = r1.zeros_accum()
+        a1 = r1.render_frames(a1, rc, 1, 2)
+        a1 = np.asarray(a1)
+
+    r2 = Renderer(fb, mats, envmap=env, width=W, height=H, settings=st)
+    sr = ShardedRenderer(r2, mesh=make_mesh(devs))
+    assert sr.eff_settings.integrator == "regen"
+    a2 = sr.zeros_accum()
+    a2 = sr.render_frames(a2, rc, 1, 2)
+    a2 = np.asarray(a2)[:W * H]
+
+    np.testing.assert_allclose(a1, a2, rtol=1e-5, atol=2e-5)
