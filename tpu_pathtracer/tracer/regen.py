@@ -36,16 +36,35 @@ from .renderer import generate_camera_rays
 
 
 def make_regen_integrator(settings: RenderSettings, width, height):
-    """Returns integrate_frames(scene, cam_vec, frame0, accum, n_frames)."""
+    """Returns integrate_frames(scene, cam_vec, frame0, accum, n_frames).
+
+    Respawn uses BLOCK-LOCAL queues (settings.regen_block lanes per block,
+    default 1024 = one packet = one 32x32 swizzled pixel tile): a dead lane
+    only ever respawns samples whose pixels belong to its own block, so a
+    traversal packet holds rays from a single spatially-coherent tile for
+    the WHOLE render instead of degrading into a pixel-mixed pool. Measured
+    motivation in ARCHITECTURE.md: the global queue's pixel mixing was the
+    dominant per-wave cost (incoherent packets visit ~5x more nodes). The
+    price is block-level load imbalance (a hard block keeps spawning while
+    easy blocks idle), amortized over n_frames samples per pixel.
+    regen_block=0 restores the single global queue."""
 
     def integrate_frames(scene, cam_vec, frame0, lane0, accum, n_frames):
         N = accum.shape[0]
-        total = jnp.uint32(N * n_frames)
+        B = settings.regen_block if settings.regen_block > 0 else N
+        B = min(B, N)
+        n_blocks = -(-N // B)
+        Np = n_blocks * B
+        # per-block valid pixel counts (last block may be partial)
+        count = jnp.clip(N - jnp.arange(n_blocks) * B, 0, B)\
+            .astype(jnp.uint32)                     # (n_blocks,)
+        tot = count * jnp.uint32(n_frames)          # samples per block
+        block_base = (jnp.arange(n_blocks, dtype=jnp.int32) * B)
 
         st = {
             "accum": accum,
             "waves": jnp.uint32(0),
-            "next": jnp.uint32(0),
+            "next": jnp.zeros((n_blocks,), jnp.uint32),
             "active": jnp.zeros((N,), bool),
             "orig": jnp.zeros((N, 3), jnp.float32),
             "dir": jnp.zeros((N, 3), jnp.float32).at[:, 2].set(1.0),
@@ -60,19 +79,27 @@ def make_regen_integrator(settings: RenderSettings, width, height):
         }
 
         def cond(st):
-            return (st["next"] < total) | jnp.any(st["active"])
+            return jnp.any(st["next"] < tot) | jnp.any(st["active"])
 
         def body(st):
             accum = st["accum"]
             active = st["active"]
 
-            # ---------------- respawn dead lanes ----------------
+            # ------------- respawn dead lanes (block-local) -------------
             dead = ~active
-            rank = jnp.cumsum(dead.astype(jnp.uint32)) - dead.astype(jnp.uint32)
-            sid = st["next"] + rank
-            spawn = dead & (sid < total)
-            pixel_new = (sid % jnp.uint32(N)).astype(jnp.int32)
-            frame_new = frame0 + (sid // jnp.uint32(N)).astype(jnp.uint32)
+            dead_p = jnp.pad(dead, (0, Np - N)).reshape(n_blocks, B)
+            du = dead_p.astype(jnp.uint32)
+            rank = jnp.cumsum(du, axis=1) - du      # exclusive, per block
+            sid = st["next"][:, None] + rank        # (n_blocks, B)
+            can = dead_p & (sid < tot[:, None])
+            pix_in_block = (sid % count[:, None]).astype(jnp.int32)
+            frame_p = frame0 + (sid // count[:, None]).astype(jnp.uint32)
+            pixel_p = block_base[:, None] + pix_in_block
+            nxt = st["next"] + jnp.sum(can, axis=1, dtype=jnp.uint32)
+
+            spawn = can.reshape(-1)[:N]
+            pixel_new = pixel_p.reshape(-1)[:N]
+            frame_new = frame_p.reshape(-1)[:N]
             pixel_glob = pixel_new + lane0.astype(jnp.int32)
             rng_new = RaySampler.init(wang_hash(frame_new),
                                       pixel_glob.astype(jnp.uint32))
@@ -91,8 +118,6 @@ def make_regen_integrator(settings: RenderSettings, width, height):
             pixel = jnp.where(spawn, pixel_new, st["pixel"])
             medium_id = jnp.where(spawn, -1, st["medium_id"])
             env_mis = jnp.where(spawn, 1.0, st["env_mis"])
-            nxt = st["next"] + jnp.sum(dead & (sid < total),
-                                       dtype=jnp.uint32)
             active = active | spawn
 
             # ---------------- one wavefront segment ----------------

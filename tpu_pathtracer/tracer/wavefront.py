@@ -24,7 +24,6 @@ from ..core.vecmath import (
     RAY_MIN, RAY_MAX, INV_PI, dot, dotk, normalize, reflect, barycentric,
 )
 
-INV_PI_C = INV_PI
 from ..core.rng import RaySampler
 from ..scene.config import (
     MAT_EMIT, MAT_DIFF, MAT_GLASS, MAT_REFL, MAT_DIFF_REFL, MAT_FRESNEL,
@@ -61,6 +60,13 @@ class RenderSettings:
     # integrator: "bounce" = classic full-width bounce loop, "regen" = path
     # regeneration (constant-width always-active pool; see tracer/regen.py)
     integrator: str = "regen"
+    # regen respawn queue granularity: lanes per block-local sample queue
+    # (see make_regen_integrator). 0 = single global queue. Measured on v5e
+    # (1024^2 demo scene): block=1024 (one packet = one 32x32 pixel tile)
+    # is SLOWER than the global queue (2251 vs 1444 ms per 1spp) — the
+    # block-straggler idle waves outweigh the packet-coherence gain — so
+    # the global queue stays the default.
+    regen_block: int = 0
     distant_light_L: tuple = (1.2, 1.2, 1.2)      # src/renderkernel.cu:521
     distant_light_dir: tuple = (0.0, 1.3, -3.6)   # src/renderkernel.cu:522
     # traversal backend: "packet" = Pallas packet kernel (TPU),
@@ -247,10 +253,6 @@ def shade(scene, settings, rng, raydir, n, nl, into, mat, objcol):
     ss_refl_mul = ss_beta[:, None] * mat["ks"][:, None] * objcol
 
     # select by material id
-    def sel(mat_const, val, default):
-        return jnp.where((refl_t == mat_const)[:, None] if val.ndim == 2
-                         else (refl_t == mat_const), val, default)
-
     next_dir = d_dir
     next_dir = jnp.where((refl_t == MAT_REFL)[:, None], r_dir, next_dir)
     next_dir = jnp.where((refl_t == MAT_DIFF_REFL)[:, None], dr_dir, next_dir)
@@ -433,8 +435,8 @@ def make_integrator(settings: RenderSettings):
                 lit = cand & (s_t > 1e10)
                 L_env = env_radiance(scene, settings, d_env,
                                      cam_env_rotation)
-                f = mat["kd"][:, None] * objcol * INV_PI_C
-                pdf_b = jnp.maximum(cos_e, 0.0) * INV_PI_C
+                f = mat["kd"][:, None] * objcol * INV_PI
+                pdf_b = jnp.maximum(cos_e, 0.0) * INV_PI
                 w = power_heuristic(pdf_env, pdf_b)
                 scale = cos_e / jnp.maximum(pdf_env, 1e-12) * w
                 accum = accum + jnp.where(
@@ -442,7 +444,7 @@ def make_integrator(settings: RenderSettings):
                 # complementary weight for the BSDF-sampled env hit on the
                 # NEXT segment of diffuse lanes
                 cos_n = jnp.maximum(dot(raydir, nl), 0.0)
-                pdf_bn = cos_n * INV_PI_C
+                pdf_bn = cos_n * INV_PI
                 pdf_en = env_pdf_of_dir(scene, raydir, cam_env_rotation)
                 env_mis = jnp.where(
                     surf & diff_lane, power_heuristic(pdf_bn, pdf_en),
@@ -473,9 +475,9 @@ def make_integrator(settings: RenderSettings):
                     scene, settings, orig, jnp.broadcast_to(ddis, raydir.shape),
                     RAY_MIN, RAY_MAX, anyhit=True, active=cand | cand_b)
                 lit = cand & (s_t > 1e10)
-                f = objcol * INV_PI_C
+                f = objcol * INV_PI
                 light_pdf = 1.0
-                scat_pdf = jnp.abs(cos_th) * INV_PI_C
+                scat_pdf = jnp.abs(cos_th) * INV_PI
                 w = (scat_pdf + light_pdf) / (scat_pdf * scat_pdf
                                               + light_pdf * light_pdf)
                 contrib = mask * f * ldis * w[:, None]
@@ -484,8 +486,8 @@ def make_integrator(settings: RenderSettings):
                 eta_t = mat["etaT"]
                 surface_f = ((1.0 - fresnel_dielectric(
                     jnp.abs(cos_b), 1.0, eta_t))
-                    / (1.0 - 2.0 * fresnel_moment_1(1.0 / eta_t))) * INV_PI_C
-                pdf_b2 = jnp.abs(cos_b) * INV_PI_C
+                    / (1.0 - 2.0 * fresnel_moment_1(1.0 / eta_t))) * INV_PI
+                pdf_b2 = jnp.abs(cos_b) * INV_PI
                 w_b = (pdf_b2 + 1.0) / (pdf_b2 * pdf_b2 + 1.0)
                 accum = accum + jnp.where(
                     lit_b[:, None],
