@@ -16,7 +16,8 @@ import threading
 import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_HERE, "native", "sbvh.cpp")
+_SRCS = [os.path.join(_HERE, "native", "sbvh.cpp"),
+         os.path.join(_HERE, "native", "alias.cpp")]
 _LIB_DIR = os.path.join(_HERE, "native", "_build")
 _LIB = os.path.join(_LIB_DIR, "libsbvh.so")
 
@@ -28,7 +29,7 @@ _failed = False
 def _compile():
     os.makedirs(_LIB_DIR, exist_ok=True)
     cmd = ["g++", "-O2", "-march=native", "-std=c++17", "-shared", "-fPIC",
-           _SRC, "-o", _LIB]
+           *_SRCS, "-o", _LIB]
     subprocess.run(cmd, check=True, capture_output=True)
 
 
@@ -42,7 +43,8 @@ def get_lib():
             return None
         try:
             if (not os.path.exists(_LIB)
-                    or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+                    or os.path.getmtime(_LIB) < max(os.path.getmtime(s)
+                                                    for s in _SRCS)):
                 _compile()
             lib = ctypes.CDLL(_LIB)
             lib.sbvh_build.restype = ctypes.c_int
@@ -56,11 +58,39 @@ def get_lib():
                 ctypes.POINTER(ctypes.c_int),
             ]
             lib.sbvh_free.argtypes = [ctypes.c_void_p]
+            lib.alias_build.restype = ctypes.c_int
+            lib.alias_build.argtypes = [
+                ctypes.POINTER(ctypes.c_double), ctypes.c_int,
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_int32),
+            ]
             _lib = lib
             return _lib
         except Exception:
             _failed = True
             return None
+
+
+def alias_build_native(p):
+    """Exact Vose alias construction via the native lib (native/alias.cpp).
+
+    p: [n] float64 weights scaled to mean 1. Returns (prob f32 [n],
+    alias i32 [n]) — bit-identical to the Python reference loop in
+    tracer/envsample.py — or None when the native lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    p = np.ascontiguousarray(np.asarray(p, np.float64))
+    n = int(p.shape[0])
+    prob = np.empty(n, np.float32)
+    alias = np.empty(n, np.int32)
+    rc = lib.alias_build(
+        p.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), n,
+        prob.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        alias.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    if rc != 0:
+        return None
+    return prob, alias
 
 
 def build_bvh_native(tri_verts, platform=None, params=None):

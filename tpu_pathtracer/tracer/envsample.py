@@ -39,20 +39,28 @@ def build_env_distribution(env):
     pdf_uv = weighted * (H * W) / total
 
     # ---- alias table over flattened texels ----
+    # production path: exact Vose in C (accel/native/alias.cpp) — the
+    # interpreted loop below is the correctness reference but takes minutes
+    # at real envmap sizes (2048x1024 = 2M texels; C ~10 ms)
     n = H * W
     p = (weighted / total).reshape(-1) * n      # mean 1
-    prob = np.ones(n)
-    alias = np.arange(n, dtype=np.int64)
-    small = [i for i in range(n) if p[i] < 1.0]
-    large = [i for i in range(n) if p[i] >= 1.0]
-    p = p.copy()
-    while small and large:
-        s = small.pop()
-        l = large.pop()
-        prob[s] = p[s]
-        alias[s] = l
-        p[l] = p[l] - (1.0 - p[s])
-        (small if p[l] < 1.0 else large).append(l)
+    from ..accel.native_build import alias_build_native
+    native = alias_build_native(p)
+    if native is not None:
+        prob, alias = native
+    else:
+        prob = np.ones(n)
+        alias = np.arange(n, dtype=np.int64)
+        small = [i for i in range(n) if p[i] < 1.0]
+        large = [i for i in range(n) if p[i] >= 1.0]
+        p = p.copy()
+        while small and large:
+            s = small.pop()
+            l = large.pop()
+            prob[s] = p[s]
+            alias[s] = l
+            p[l] = p[l] - (1.0 - p[s])
+            (small if p[l] < 1.0 else large).append(l)
     # packed row: [prob, alias(bitcast), pdf_uv[self], pdf_uv[alias]]
     packed = np.zeros((n, 4), np.float32)
     packed[:, 0] = prob
