@@ -171,3 +171,88 @@ def test_reference_checker_png_loads():
     assert tex.dtype == np.float32
     assert 0.0 <= tex.min() and tex.max() <= 1.0
     assert tex.std() > 0.1, "checker has contrast"
+
+
+def _rle_encode_scanline(rgbe_row):
+    """New-style RLE encoder (runs + literals), per the Radiance format the
+    reference decrunches (src/HDRloader.cpp:116-160)."""
+    w = rgbe_row.shape[0]
+    out = bytearray([2, 2, (w >> 8) & 0xFF, w & 0xFF])
+    for c in range(4):
+        col = rgbe_row[:, c]
+        x = 0
+        while x < w:
+            # find run length of equal bytes
+            run = 1
+            while x + run < w and col[x + run] == col[x] and run < 127:
+                run += 1
+            if run >= 4:
+                out += bytes([128 + run, int(col[x])])
+                x += run
+            else:
+                # literal chunk up to the next long run
+                start = x
+                while x < w and x - start < 128:
+                    run = 1
+                    while x + run < w and col[x + run] == col[x] and run < 127:
+                        run += 1
+                    if run >= 4:
+                        break
+                    x += run
+                out += bytes([x - start]) + col[start:x].tobytes()
+    return bytes(out)
+
+
+def test_hdr_orientation_matches_reference_net_convention(tmp_path):
+    """Pin the envmap orientation end to end against the reference's NET
+    convention: HDRLoader::load appends decoded scanlines in FILE order
+    (src/HDRloader.cpp:83-90 — the y loop is only a counter), initHDR's
+    copy is an identity (src/main.cpp:388-397: idx2 = w*j+i from
+    idx = 3*(w*j+i)), and envLight maps v = acos(dir.y)/pi with v=0 at
+    buffer row 0 (src/renderkernel.cu:426-432). Net: the FIRST file
+    scanline is the ZENITH row. A silent vertical flip here would blow the
+    RMSE goal the moment a real pisa.hdr is used."""
+    import jax.numpy as jnp
+    from tpu_pathtracer.scene.hdr import read_hdr, _float_to_rgbe
+    from tpu_pathtracer.scene.texture import make_quad_texture, \
+        sample_envmap_quad
+
+    H, W = 8, 16
+    # power-of-two values -> exact through RGBE
+    img = np.tile(np.float32([0.5, 1.0, 2.0]), (H, W, 1))
+    img[1, 3] = [4.0, 0.25, 0.25]    # red marker near zenith
+    img[6, 12] = [0.25, 4.0, 0.25]   # green marker near nadir
+    rgbe = _float_to_rgbe(img)
+
+    path = tmp_path / "marked.hdr"
+    with open(path, "wb") as f:
+        f.write(b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n")
+        f.write(b"-Y %d +X %d\n" % (H, W))
+        for y in range(H):
+            f.write(_rle_encode_scanline(rgbe[y]))
+
+    dec = read_hdr(str(path))
+    # 1) RLE decodes exactly, rows in file order
+    np.testing.assert_array_equal(dec, img)
+
+    # 2) reference-pipeline emulation: scanlines appended in file order
+    #    (buffer row j = file scanline j) must equal our rows
+    np.testing.assert_array_equal(dec[0], img[0])
+
+    # 3) direction-level golden: the texel centers land at the right (θ,φ)
+    quad = jnp.asarray(make_quad_texture(dec, wrap_u=False, wrap_v=False))
+
+    def dir_of(row, col):
+        v = (row + 0.5) / H
+        u = (col + 0.5) / W
+        theta, phi = v * np.pi, u * 2 * np.pi
+        return np.float32([np.sin(theta) * np.sin(phi), np.cos(theta),
+                           np.sin(theta) * np.cos(phi)])
+
+    dirs = jnp.asarray(np.stack([dir_of(1, 3), dir_of(6, 12),
+                                 [0.0, 1.0, 0.0]]))
+    out = np.asarray(sample_envmap_quad(quad, H, W, dirs, 0.0))
+    assert out[0, 0] > 2.0 and out[0, 1] < 1.0, "red marker misplaced"
+    assert out[1, 1] > 2.0 and out[1, 0] < 1.0, "green marker misplaced"
+    # up-ray reads the FIRST file scanline (background there)
+    np.testing.assert_allclose(out[2], [0.5, 1.0, 2.0], atol=1e-5)
