@@ -164,5 +164,30 @@ def test_native_alias_matches_python_and_is_fast():
     t0 = time.perf_counter()
     d = envsample.build_env_distribution(env)
     dt = time.perf_counter() - t0
-    assert d["env_alias"].shape == (1024 * 2048, 4)
+    assert d["env_alias"].shape == (1024 * 2048, 10)
     assert dt < 5.0, "2048x1024 alias build took %.1fs" % dt
+
+
+def test_alias_row_radiance_matches_bilinear_fetch():
+    """NEE directions point at texel centers, where the bilinear envmap
+    fetch equals the texel value — so the radiance packed in the alias row
+    (one gather total) must match env_radiance (a second gather)."""
+    import jax.numpy as jnp
+    from tpu_pathtracer.scene import procedural
+    from tpu_pathtracer.scene.texture import make_quad_texture
+    from tpu_pathtracer.tracer.envsample import (
+        build_env_distribution, sample_env)
+    from tpu_pathtracer.tracer.wavefront import RenderSettings, env_radiance
+
+    env = procedural.make_sky_envmap(64, 32)
+    scene = {k: jnp.asarray(v) for k, v in build_env_distribution(env).items()}
+    scene["envmap_quad"] = jnp.asarray(make_quad_texture(
+        np.asarray(env, np.float32), wrap_u=False, wrap_v=False))
+    scene["env_h"], scene["env_w"] = env.shape[0], env.shape[1]
+    rs = np.random.default_rng(3)
+    u1 = jnp.asarray(rs.uniform(size=20000).astype(np.float32))
+    u2 = jnp.asarray(rs.uniform(size=20000).astype(np.float32))
+    for rot in (0.0, 0.27):
+        d, pdf, L = sample_env(scene, u1, u2, rot)
+        L_ref = env_radiance(scene, RenderSettings(), d, jnp.float32(rot))
+        assert np.abs(np.asarray(L) - np.asarray(L_ref)).max() < 1e-4

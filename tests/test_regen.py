@@ -39,3 +39,40 @@ def test_regen_matches_bounce_integrator(tmp_path):
     assert d.max() < 5e-3  # isolated float-order differences only
     assert out["regen"].mean() == pytest.approx(out["bounce"].mean(),
                                                 rel=1e-4)
+
+
+def test_regen_compact_order_matches_inplace(tmp_path):
+    """The compact pool permutation must not change anything observable:
+    same sample values, same wave count, same traced-ray count."""
+    import jax
+    import jax.numpy as jnp
+    from tpu_pathtracer.tracer.regen import make_regen_integrator
+
+    mesh = procedural.make_test_scene()
+    fb = load_or_build(mesh, cache_dir=str(tmp_path))
+    mats = [MatDesc(refltype=MAT_DIFF, useTexture=True),
+            MatDesc(refltype=MAT_FRESNEL, alphax=0.1, alphay=0.1,
+                    kd=5.0, ks=1.0),
+            MatDesc(refltype=MAT_GLASS),
+            MatDesc(refltype=MAT_REFL)]
+    env = procedural.make_sky_envmap(128, 64)
+    tex = procedural.make_checker_texture(64)
+    W = H = 48
+    rc = default_camera(W, H).build_render_camera()
+    out = {}
+    for order in ("inplace", "compact"):
+        r = Renderer(fb, mats, envmap=env, texture=tex, width=W, height=H,
+                     settings=None)
+        st = dataclasses.replace(r.settings, regen_order=order)
+        fn = jax.jit(make_regen_integrator(st, W, H, with_stats=True),
+                     static_argnames=("n_frames",))
+        acc, waves, rays = fn(r.scene, jnp.asarray(rc.as_array()),
+                              jnp.uint32(1), jnp.uint32(0), r.zeros_accum(),
+                              n_frames=2)
+        out[order] = (np.asarray(acc), int(waves), float(rays))
+    d = np.abs(out["inplace"][0] - out["compact"][0])
+    assert d.max() < 5e-3 and d.mean() < 1e-5
+    assert out["inplace"][1] == out["compact"][1]
+    assert out["inplace"][2] == out["compact"][2]
+    # sanity on the stats counter itself: >= 1 extension ray per path
+    assert out["inplace"][2] >= W * H * 2

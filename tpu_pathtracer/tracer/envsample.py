@@ -61,13 +61,20 @@ def build_env_distribution(env):
             alias[s] = l
             p[l] = p[l] - (1.0 - p[s])
             (small if p[l] < 1.0 else large).append(l)
-    # packed row: [prob, alias(bitcast), pdf_uv[self], pdf_uv[alias]]
-    packed = np.zeros((n, 4), np.float32)
+    # packed row: [prob, alias(bitcast), pdf_uv[self], pdf_uv[alias],
+    #              rgb_self(3), rgb_alias(3)] — radiance rides along so the
+    # NEE draw needs no second envmap gather: sampled directions point at
+    # texel centers, where bilinear interpolation equals the texel value
+    # (verified against sample_envmap_quad in tests/test_envsample.py)
+    packed = np.zeros((n, 10), np.float32)
     packed[:, 0] = prob
     packed[:, 1] = alias.astype(np.int32).view(np.float32)
     flat_pdf = pdf_uv.reshape(-1)
     packed[:, 2] = flat_pdf
     packed[:, 3] = flat_pdf[alias]
+    rgb = env.reshape(-1, 3)
+    packed[:, 4:7] = rgb
+    packed[:, 7:10] = rgb[alias]
     return {
         "env_alias": packed,
         "env_pdf_uv": pdf_uv.astype(np.float32),
@@ -100,19 +107,21 @@ def env_pdf_of_dir(scene, raydir, rotation):
     return p_uv / (2.0 * PI * PI * sin_t)
 
 
-def sample_env_dir(scene, u1, u2, rotation):
+def sample_env(scene, u1, u2, rotation):
     """Draw directions via the alias table: one gather per lane.
-    Returns (dir [N,3], pdf [N])."""
-    packed = scene["env_alias"]       # [H*W, 4]
+    Returns (dir [N,3], pdf [N], radiance [N,3]) — the radiance is packed
+    in the alias row, so the draw + light evaluation is a single gather."""
+    packed = scene["env_alias"]       # [H*W, 10]
     H, W = scene["env_pdf_uv"].shape
     n = H * W
     bin0 = jnp.clip((u1 * n).astype(jnp.int32), 0, n - 1)
-    row4 = jnp.take(packed, bin0, axis=0)           # the ONE gather
-    prob = row4[:, 0]
-    alias = jax.lax.bitcast_convert_type(row4[:, 1], jnp.int32)
+    row = jnp.take(packed, bin0, axis=0)            # the ONE gather
+    prob = row[:, 0]
+    alias = jax.lax.bitcast_convert_type(row[:, 1], jnp.int32)
     take_alias = u2 >= prob
     texel = jnp.where(take_alias, alias, bin0)
-    pdf_uv = jnp.where(take_alias, row4[:, 3], row4[:, 2])
+    pdf_uv = jnp.where(take_alias, row[:, 3], row[:, 2])
+    L = jnp.where(take_alias[:, None], row[:, 7:10], row[:, 4:7])
     rowi = texel // W
     coli = texel % W
     u = (coli.astype(jnp.float32) + 0.5) / W
@@ -120,6 +129,12 @@ def sample_env_dir(scene, u1, u2, rotation):
     d = _dir_from_uv(u, v, rotation)
     sin_t = jnp.sqrt(jnp.maximum(1.0 - d[:, 1] ** 2, 1e-8))
     pdf = pdf_uv / (2.0 * PI * PI * sin_t)
+    return d, pdf, L
+
+
+def sample_env_dir(scene, u1, u2, rotation):
+    """Back-compat wrapper: (dir, pdf) only."""
+    d, pdf, _ = sample_env(scene, u1, u2, rotation)
     return d, pdf
 
 

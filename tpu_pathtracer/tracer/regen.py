@@ -35,8 +35,14 @@ from .bssrdf_shade import bssrdf_scatter
 from .renderer import generate_camera_rays
 
 
-def make_regen_integrator(settings: RenderSettings, width, height):
+def make_regen_integrator(settings: RenderSettings, width, height,
+                          with_stats=False):
     """Returns integrate_frames(scene, cam_vec, frame0, accum, n_frames).
+
+    with_stats=True additionally returns the number of rays actually traced
+    (extension + NEE shadow), the honest denominator for end-to-end Mrays/s
+    (bench.py) — the analog of counting the reference's per-bounce kernel
+    launches + shadow rays rather than only primary samples.
 
     Respawn uses BLOCK-LOCAL queues (settings.regen_block lanes per block,
     default 1024 = one packet = one 32x32 swizzled pixel tile): a dead lane
@@ -48,6 +54,11 @@ def make_regen_integrator(settings: RenderSettings, width, height):
     price is block-level load imbalance (a hard block keeps spawning while
     easy blocks idle), amortized over n_frames samples per pixel.
     regen_block=0 restores the single global queue."""
+
+    if settings.regen_order == "compact" and settings.regen_block > 0:
+        raise ValueError("regen_order='compact' requires the global queue "
+                         "(regen_block=0): block-local queues pin samples "
+                         "to fixed lane ranges")
 
     def integrate_frames(scene, cam_vec, frame0, lane0, accum, n_frames):
         N = accum.shape[0]
@@ -64,6 +75,7 @@ def make_regen_integrator(settings: RenderSettings, width, height):
         st = {
             "accum": accum,
             "waves": jnp.uint32(0),
+            "rays": jnp.float32(0.0),
             "next": jnp.zeros((n_blocks,), jnp.uint32),
             "active": jnp.zeros((N,), bool),
             "orig": jnp.zeros((N, 3), jnp.float32),
@@ -103,8 +115,9 @@ def make_regen_integrator(settings: RenderSettings, width, height):
             pixel_glob = pixel_new + lane0.astype(jnp.int32)
             rng_new = RaySampler.init(wang_hash(frame_new),
                                       pixel_glob.astype(jnp.uint32))
-            px = jnp.take(scene["lane_px"], pixel_glob).astype(jnp.float32)
-            py = jnp.take(scene["lane_py"], pixel_glob).astype(jnp.float32)
+            pxy = jnp.take(scene["lane_pxy"], pixel_glob)
+            px = (pxy & 0xFFFF).astype(jnp.float32)
+            py = (pxy >> 16).astype(jnp.float32)
             rng_new, o_new, d_new = generate_camera_rays(cam_vec, rng_new,
                                                          px, py)
             sel = spawn[:, None]
@@ -119,6 +132,7 @@ def make_regen_integrator(settings: RenderSettings, width, height):
             medium_id = jnp.where(spawn, -1, st["medium_id"])
             env_mis = jnp.where(spawn, 1.0, st["env_mis"])
             active = active | spawn
+            rays = st["rays"] + jnp.sum(active, dtype=jnp.float32)
 
             # ---------------- one wavefront segment ----------------
             # a single wave-level RNG draw keeps lanes independent; all
@@ -191,17 +205,18 @@ def make_regen_integrator(settings: RenderSettings, width, height):
 
             if settings.use_envmap and settings.env_importance_sampling:
                 from .envsample import (
-                    sample_env_dir, env_pdf_of_dir, power_heuristic)
+                    sample_env, env_pdf_of_dir, power_heuristic)
                 rng, (e1, e2) = RaySampler.next_n(rng, 2)
-                d_env, pdf_env = sample_env_dir(scene, e1, e2, cam_vec[15])
+                d_env, pdf_env, L_env = sample_env(scene, e1, e2,
+                                                   cam_vec[15])
                 cos_e = dot(d_env, nl)
                 diff_lane = surf & (mat["refltype"] == MAT_DIFF)
                 cand = diff_lane & (cos_e > 0.0) & (pdf_env > 1e-12)
+                rays = rays + jnp.sum(cand, dtype=jnp.float32)
                 s_slot, s_t = trace_rays(scene, settings, orig, d_env,
                                          RAY_MIN, RAY_MAX, anyhit=True,
                                          active=cand)
                 lit = cand & (s_t > 1e10)
-                L_env = env_radiance(scene, settings, d_env, cam_vec[15])
                 f = mat["kd"][:, None] * objcol * INV_PI
                 pdf_b = jnp.maximum(cos_e, 0.0) * INV_PI
                 w = power_heuristic(pdf_env, pdf_b)
@@ -230,6 +245,7 @@ def make_regen_integrator(settings: RenderSettings, width, height):
                 cos_b = dot(jnp.broadcast_to(ddis, raydir.shape),
                             normalize(bs_normal))
                 cand_b = bs_lane & (cos_b >= 0.0)
+                rays = rays + jnp.sum(cand | cand_b, dtype=jnp.float32)
                 s_slot, s_t = trace_rays(
                     scene, settings, orig,
                     jnp.broadcast_to(ddis, raydir.shape),
@@ -270,15 +286,48 @@ def make_regen_integrator(settings: RenderSettings, width, height):
                 jnp.where(finished[:, None], accu, 0.0))
             active = active & ~finished
 
-            return {
-                "accum": accum, "waves": st["waves"] + 1,
+            out = {
+                "accum": accum, "waves": st["waves"] + 1, "rays": rays,
                 "next": nxt, "active": active,
                 "orig": orig, "dir": raydir, "mask": mask, "accu": accu,
                 "rng": rng, "lbn": lbn, "bounce": bounce, "pixel": pixel,
                 "medium_id": medium_id, "env_mis": env_mis,
             }
+            if settings.regen_order == "compact":
+                # stable-compact survivors to the front; dead lanes collect
+                # at the tail where next wave's respawn (rank order) hands
+                # them CONSECUTIVE queue samples — so fresh packets are
+                # whole 32x32-tile neighborhoods and surviving packets keep
+                # their generation's spatial order.
+                su = active.astype(jnp.int32)
+                rank_s = jnp.cumsum(su) - su
+                de = 1 - su
+                rank_d = jnp.cumsum(de) - de
+                n_surv = jnp.sum(su)
+                dst = jnp.where(active, rank_s, n_surv + rank_d)
+                src = jnp.zeros((N,), jnp.int32).at[dst].set(
+                    jnp.arange(N, dtype=jnp.int32))
+                # two packed row-gathers instead of eleven scalar gathers
+                fmat = jnp.concatenate(
+                    [out["orig"], out["dir"], out["mask"], out["accu"],
+                     out["env_mis"][:, None]], axis=1)
+                imat = jnp.stack(
+                    [out["rng"].astype(jnp.int32), out["lbn"], out["bounce"],
+                     out["pixel"], out["medium_id"], su], axis=1)
+                fmat = jnp.take(fmat, src, axis=0)
+                imat = jnp.take(imat, src, axis=0)
+                out["orig"], out["dir"], out["mask"], out["accu"] = (
+                    fmat[:, 0:3], fmat[:, 3:6], fmat[:, 6:9], fmat[:, 9:12])
+                out["env_mis"] = fmat[:, 12]
+                out["rng"] = imat[:, 0].astype(jnp.uint32)
+                out["lbn"], out["bounce"] = imat[:, 1], imat[:, 2]
+                out["pixel"], out["medium_id"] = imat[:, 3], imat[:, 4]
+                out["active"] = imat[:, 5] != 0
+            return out
 
         st = jax.lax.while_loop(cond, body, st)
+        if with_stats:
+            return st["accum"], st["waves"], st["rays"]
         return st["accum"], st["waves"]
 
     return integrate_frames

@@ -193,6 +193,10 @@ class Renderer:
                  - n_pixels + 8192)
         self.scene["lane_px"] = jnp.asarray(np.pad(self._lane_px, (0, n_pad)))
         self.scene["lane_py"] = jnp.asarray(np.pad(self._lane_py, (0, n_pad)))
+        # packed px|py<<16: the regen respawn needs both per fresh lane and
+        # gathers are the expensive primitive — one fetch instead of two
+        self.scene["lane_pxy"] = jnp.asarray(np.pad(
+            self._lane_px | (self._lane_py << 16), (0, n_pad)))
 
     # ------------------------------------------------------------------
     def _render_chunk(self, scene, cam_vec, frame_hash, lane0, accum_chunk,

@@ -67,12 +67,31 @@ class RenderSettings:
     # block-straggler idle waves outweigh the packet-coherence gain — so
     # the global queue stays the default.
     regen_block: int = 0
+    # pool ordering discipline: "inplace" respawns dead lanes where they
+    # died (pool degrades into a pixel-mixed soup; traversal packets lose
+    # spatial coherence), "compact" stable-compacts survivors to the front
+    # each wave and appends fresh spawns at the tail, so a packet holds
+    # lanes of mostly one spawn generation (consecutive queue samples =
+    # consecutive swizzled pixels = one 32x32 tile neighborhood). The
+    # classic wavefront compaction step (Laine et al.) as a pool
+    # permutation. Requires the global queue (regen_block=0).
+    # Measured on v5e (1024^2 demo scene, ms per 1-spp frame): inplace 1494,
+    # compact 910 (tile_sub=8) / 777 (tile_sub=16) — compaction restores the
+    # packet coherence the global queue destroys, at the cost of one packed
+    # pool permutation per wave.
+    regen_order: str = "compact"
     distant_light_L: tuple = (1.2, 1.2, 1.2)      # src/renderkernel.cu:521
     distant_light_dir: tuple = (0.0, 1.3, -3.6)   # src/renderkernel.cu:522
     # traversal backend: "packet" = Pallas packet kernel (TPU),
     # "wavefront" = pure-JAX per-lane step machine, "auto" = packet on TPU
     traversal: str = "auto"
-    packet_tile_sub: int = 8    # sublane rows per packet (rays = x128)
+    # sublane rows per packet (rays = x128). 16 measured best end-to-end:
+    # the step cost is scalar-bound, so fatter packets halve total steps;
+    # with the compact pool the larger union footprint stays cheap.
+    packet_tile_sub: int = 16
+    # independent packets interleaved per kernel instance (scalar-latency
+    # hiding; see ops/traverse_packet.py)
+    packet_interleave: int = 4
     # compact rays (dead lanes last) before each packet traversal. Measured
     # NET-NEGATIVE on the demo scene (the argsort+permute costs more than
     # retiring packets saves) — kept as an option for scenes with much
@@ -94,7 +113,8 @@ def trace_rays(scene, settings: RenderSettings, orig, raydir, tmin, tmax,
             return packet_intersect(
                 scene["packed"], o, d, tmin, tmax, anyhit=anyhit,
                 stack_depth=settings.stack_depth, active=act,
-                tile_sub=settings.packet_tile_sub)
+                tile_sub=settings.packet_tile_sub,
+                interleave=settings.packet_interleave)
 
         N = orig.shape[0]
         if settings.sort_rays and N >= 4096:
@@ -422,10 +442,10 @@ def make_integrator(settings: RenderSettings):
             env_mis = st["env_mis"]
             if settings.use_envmap and settings.env_importance_sampling:
                 from .envsample import (
-                    sample_env_dir, env_pdf_of_dir, power_heuristic)
+                    sample_env, env_pdf_of_dir, power_heuristic)
                 rng, (e1, e2) = RaySampler.next_n(rng, 2)
-                d_env, pdf_env = sample_env_dir(scene, e1, e2,
-                                                cam_env_rotation)
+                d_env, pdf_env, L_env = sample_env(scene, e1, e2,
+                                                   cam_env_rotation)
                 cos_e = dot(d_env, nl)
                 diff_lane = surf & (mat["refltype"] == MAT_DIFF)
                 cand = diff_lane & (cos_e > 0.0) & (pdf_env > 1e-12)
@@ -433,8 +453,6 @@ def make_integrator(settings: RenderSettings):
                                          RAY_MIN, RAY_MAX, anyhit=True,
                                          active=cand)
                 lit = cand & (s_t > 1e10)
-                L_env = env_radiance(scene, settings, d_env,
-                                     cam_env_rotation)
                 f = mat["kd"][:, None] * objcol * INV_PI
                 pdf_b = jnp.maximum(cos_e, 0.0) * INV_PI
                 w = power_heuristic(pdf_env, pdf_b)
