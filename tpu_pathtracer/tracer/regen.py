@@ -101,7 +101,15 @@ def make_regen_integrator(settings: RenderSettings, width, height,
             dead = ~active
             dead_p = jnp.pad(dead, (0, Np - N)).reshape(n_blocks, B)
             du = dead_p.astype(jnp.uint32)
-            rank = jnp.cumsum(du, axis=1) - du      # exclusive, per block
+            if settings.regen_order == "compact":
+                # compaction leaves dead lanes as an exact tail suffix, so
+                # the respawn rank is closed-form — no cumsum pass
+                n_dead = jnp.sum(du, axis=1, dtype=jnp.uint32)[:, None]
+                iota_b = jnp.arange(B, dtype=jnp.uint32)[None, :]
+                rank = jnp.where(dead_p,
+                                 iota_b - (jnp.uint32(B) - n_dead), 0)
+            else:
+                rank = jnp.cumsum(du, axis=1) - du  # exclusive, per block
             sid = st["next"][:, None] + rank        # (n_blocks, B)
             can = dead_p & (sid < tot[:, None])
             pix_in_block = (sid % count[:, None]).astype(jnp.int32)
@@ -300,9 +308,9 @@ def make_regen_integrator(settings: RenderSettings, width, height,
                 # whole 32x32-tile neighborhoods and surviving packets keep
                 # their generation's spatial order.
                 su = active.astype(jnp.int32)
+                iota = jnp.arange(N, dtype=jnp.int32)
                 rank_s = jnp.cumsum(su) - su
-                de = 1 - su
-                rank_d = jnp.cumsum(de) - de
+                rank_d = iota - rank_s     # ranks partition the lane index
                 n_surv = jnp.sum(su)
                 dst = jnp.where(active, rank_s, n_surv + rank_d)
                 src = jnp.zeros((N,), jnp.int32).at[dst].set(
