@@ -76,3 +76,29 @@ def test_regen_compact_order_matches_inplace(tmp_path):
     assert out["inplace"][2] == out["compact"][2]
     # sanity on the stats counter itself: >= 1 extension ray per path
     assert out["inplace"][2] >= W * H * 2
+
+
+def test_lane_pixel_xy_matches_swizzle_tables():
+    """The closed-form de-swizzle must reproduce the Renderer's lane->pixel
+    tables bit for bit, including clipped edge blocks (W or H not a
+    multiple of 32)."""
+    import jax.numpy as jnp
+    from tpu_pathtracer.tracer.renderer import lane_pixel_xy
+
+    bs = 32
+    for W, H in [(64, 64), (48, 48), (37, 23), (1920, 1080), (100, 129),
+                 (31, 7), (128, 96)]:
+        # reference construction (Renderer.__init__)
+        bw = -(-W // bs)
+        lanes = np.arange(bw * -(-H // bs) * bs * bs, dtype=np.int64)
+        blk = lanes // (bs * bs)
+        within = lanes % (bs * bs)
+        px = (blk % bw) * bs + within % bs
+        py = (blk // bw) * bs + within // bs
+        valid = (px < W) & (py < H)
+        px = px[valid][: W * H]
+        py = py[valid][: W * H]
+
+        ax, ay = lane_pixel_xy(jnp.arange(W * H, dtype=jnp.int32), W, H)
+        np.testing.assert_array_equal(np.asarray(ax), px, err_msg=f"{W}x{H}")
+        np.testing.assert_array_equal(np.asarray(ay), py, err_msg=f"{W}x{H}")

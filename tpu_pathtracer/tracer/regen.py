@@ -32,7 +32,7 @@ from .wavefront import (
 from .traverse import woop_geometric_normal
 from .medium import medium_interaction
 from .bssrdf_shade import bssrdf_scatter
-from .renderer import generate_camera_rays
+from .renderer import generate_camera_rays, lane_pixel_xy
 
 
 def make_regen_integrator(settings: RenderSettings, width, height,
@@ -72,8 +72,11 @@ def make_regen_integrator(settings: RenderSettings, width, height,
         tot = count * jnp.uint32(n_frames)          # samples per block
         block_base = (jnp.arange(n_blocks, dtype=jnp.int32) * B)
 
+        # accum rides the loop channel-major flat (3N,): three 1-d
+        # scatter-adds cost ~21 ms/wave on v5e vs ~44 ms for one (N,3)
+        # row scatter
         st = {
-            "accum": accum,
+            "accum": jnp.transpose(accum).reshape(-1),
             "waves": jnp.uint32(0),
             "rays": jnp.float32(0.0),
             "next": jnp.zeros((n_blocks,), jnp.uint32),
@@ -123,9 +126,11 @@ def make_regen_integrator(settings: RenderSettings, width, height,
             pixel_glob = pixel_new + lane0.astype(jnp.int32)
             rng_new = RaySampler.init(wang_hash(frame_new),
                                       pixel_glob.astype(jnp.uint32))
-            pxy = jnp.take(scene["lane_pxy"], pixel_glob)
-            px = (pxy & 0xFFFF).astype(jnp.float32)
-            py = (pxy >> 16).astype(jnp.float32)
+            # closed-form de-swizzle: a 1M-lane table gather costs ~7.5 ms
+            # per wave on v5e; this is ~0.3 ms of int ops
+            pxi, pyi = lane_pixel_xy(pixel_glob, width, height)
+            px = pxi.astype(jnp.float32)
+            py = pyi.astype(jnp.float32)
             rng_new, o_new, d_new = generate_camera_rays(cam_vec, rng_new,
                                                          px, py)
             sel = spawn[:, None]
@@ -289,9 +294,12 @@ def make_regen_integrator(settings: RenderSettings, width, height,
             finished = active & (
                 miss | (surf & term) | (bounce >= lbn)
                 | (bounce >= settings.bounce_max))
-            # scatter-add completed paths into the image
-            accum = accum.at[pixel].add(
-                jnp.where(finished[:, None], accu, 0.0))
+            # scatter-add completed paths into the image (channel-split:
+            # three 1-d scatters measured ~2x faster than one row scatter)
+            contrib = jnp.where(finished[:, None], accu, 0.0)
+            accum = accum.at[pixel].add(contrib[:, 0])
+            accum = accum.at[pixel + N].add(contrib[:, 1])
+            accum = accum.at[pixel + 2 * N].add(contrib[:, 2])
             active = active & ~finished
 
             out = {
@@ -334,8 +342,9 @@ def make_regen_integrator(settings: RenderSettings, width, height,
             return out
 
         st = jax.lax.while_loop(cond, body, st)
+        acc_out = jnp.transpose(st["accum"].reshape(3, N))
         if with_stats:
-            return st["accum"], st["waves"], st["rays"]
-        return st["accum"], st["waves"]
+            return acc_out, st["waves"], st["rays"]
+        return acc_out, st["waves"]
 
     return integrate_frames

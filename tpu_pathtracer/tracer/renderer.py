@@ -34,6 +34,39 @@ def _bssrdf_table_cached(g=0.0, eta=1.4):
     return compute_beam_diffusion_table(g=g, eta=eta)
 
 
+def lane_pixel_xy(pixel_index, width, height, block=32):
+    """Closed-form inverse of the 32x32 block swizzle (Renderer.__init__):
+    pixel lane index -> (px, py) int32, matching the _lane_px/_lane_py
+    tables bit for bit for ANY width/height (partial edge blocks included).
+
+    Pure integer arithmetic, no gather: the regen respawn needs (px, py)
+    per fresh lane every wave, and a 1M-lane table gather costs ~7.5 ms on
+    v5e while this is a handful of vectorized int ops (~0.3 ms).
+
+    Layout recap: lanes walk 32x32 pixel blocks row-major; blocks at the
+    right/bottom image edge are clipped to the image and their lanes are
+    compacted (local row-major within the clipped block)."""
+    b = int(block)
+    W, H = int(width), int(height)
+    i = pixel_index.astype(jnp.int32)
+    full_rows = H // b
+    rem_h = H - full_rows * b
+    full_cols = W // b
+    rem_w = W - full_cols * b
+    row_lanes = W * b                     # lanes per full-height block row
+    blk_row = i // row_lanes              # == full_rows for the partial row
+    l2 = i - blk_row * row_lanes
+    bh_cur = jnp.where(blk_row < full_rows, b, max(rem_h, 1))
+    blk_lanes = b * bh_cur                # lanes per full-width block here
+    col_blk = l2 // blk_lanes             # == full_cols for the partial col
+    l3 = l2 - col_blk * blk_lanes
+    bw_cur = jnp.where(col_blk < full_cols, b, max(rem_w, 1))
+    px = col_blk * b + l3 % bw_cur
+    py = blk_row * b + l3 // bw_cur
+    return (jnp.clip(px, 0, W - 1).astype(jnp.int32),
+            jnp.clip(py, 0, H - 1).astype(jnp.int32))
+
+
 def generate_camera_rays(cam_vec, rng, pixel_x, pixel_y):
     """Primary ray generation: AA jitter + thin-lens DOF, exactly the
     pathTracingKernel sequence (src/renderkernel.cu:895-954).
@@ -193,10 +226,8 @@ class Renderer:
                  - n_pixels + 8192)
         self.scene["lane_px"] = jnp.asarray(np.pad(self._lane_px, (0, n_pad)))
         self.scene["lane_py"] = jnp.asarray(np.pad(self._lane_py, (0, n_pad)))
-        # packed px|py<<16: the regen respawn needs both per fresh lane and
-        # gathers are the expensive primitive — one fetch instead of two
-        self.scene["lane_pxy"] = jnp.asarray(np.pad(
-            self._lane_px | (self._lane_py << 16), (0, n_pad)))
+        # (the regen respawn derives (px, py) arithmetically via
+        # lane_pixel_xy — no table gather)
 
     # ------------------------------------------------------------------
     def _render_chunk(self, scene, cam_vec, frame_hash, lane0, accum_chunk,
