@@ -111,6 +111,50 @@ def _bilinear_quad(quad, H, W, u, v, wrap_u, wrap_v):
             + q[..., 6:9] * (1 - fx) * fy + q[..., 9:12] * fx * fy)
 
 
+def _uv_from_dir(raydir, rotation):
+    x = raydir[..., 0]
+    y = raydir[..., 1]
+    z = raydir[..., 2]
+    longlat_x = jnp.arctan2(x, z)
+    longlat_x = jnp.where(longlat_x < 0.0, longlat_x + TWO_PI, longlat_x)
+    u = jnp.mod(longlat_x / TWO_PI + rotation, 1.0)
+    v = jnp.arccos(jnp.clip(y, -1.0, 1.0)) / PI
+    return u, v
+
+
+def sample_envmap_quad_pdf(quad16, H, W, raydir, rotation):
+    """Environment radiance + sampler pdf from ONE row gather.
+
+    quad16: (H*W, 16) = the 12 bilinear-footprint channels of
+    make_quad_texture plus the 4 corner texels' pdf_uv values (cols 12:16,
+    same neighbor/clamp layout). Returns (L [...,3] bilinear radiance,
+    p_uv [...] the EXACT pdf_uv of the texel floor(u*W), floor(v*H) —
+    selected, not interpolated, so it equals envsample.env_pdf_of_dir's
+    gather bit for bit). Folding the pdf into the miss-path fetch removes
+    a separate ~8 ms/wave full-width gather from the integrators."""
+    u, v = _uv_from_dir(raydir, rotation)
+    x = u * W - 0.5
+    y = v * H - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, W - 1)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, H - 1)
+    q = jnp.take(quad16, y0i * W + x0i, axis=0)        # [...,16]
+    L = (q[..., 0:3] * (1 - fx) * (1 - fy) + q[..., 3:6] * fx * (1 - fy)
+         + q[..., 6:9] * (1 - fx) * fy + q[..., 9:12] * fx * fy)
+    # nearest-texel pdf: which of the 4 build-clamped corners holds texel
+    # (floor(u*W), floor(v*H))
+    sx = jnp.clip((u * W).astype(jnp.int32) - x0i, 0, 1)
+    sy = jnp.clip((v * H).astype(jnp.int32) - y0i, 0, 1)
+    p00, p01 = q[..., 12], q[..., 13]
+    p10, p11 = q[..., 14], q[..., 15]
+    p_uv = jnp.where(sy == 0, jnp.where(sx == 0, p00, p01),
+                     jnp.where(sx == 0, p10, p11))
+    return L, p_uv
+
+
 def sample_texture_quad(quad, H, W, u, v):
     """Color texture fetch via quad rows: wrap/wrap bilinear."""
     return _bilinear_quad(quad, H, W, jnp.mod(u, 1.0), jnp.mod(v, 1.0),

@@ -27,7 +27,7 @@ from ..core.rng import RaySampler, wang_hash
 from ..scene.config import MAT_DIFF
 from .wavefront import (
     RenderSettings, trace_rays, fetch_attributes, gather_material,
-    env_radiance, texture_radiance, shade,
+    env_radiance, env_miss_weighted, texture_radiance, shade,
 )
 from .traverse import woop_geometric_normal
 from .medium import medium_interaction
@@ -90,7 +90,7 @@ def make_regen_integrator(settings: RenderSettings, width, height,
             "bounce": jnp.zeros((N,), jnp.int32),
             "pixel": jnp.zeros((N,), jnp.int32),
             "medium_id": jnp.full((N,), -1, jnp.int32),
-            "env_mis": jnp.ones((N,), jnp.float32),
+            "bsdf_pdf": jnp.full((N,), -1.0, jnp.float32),
         }
 
         def cond(st):
@@ -143,7 +143,7 @@ def make_regen_integrator(settings: RenderSettings, width, height,
             bounce = jnp.where(spawn, 0, st["bounce"])
             pixel = jnp.where(spawn, pixel_new, st["pixel"])
             medium_id = jnp.where(spawn, -1, st["medium_id"])
-            env_mis = jnp.where(spawn, 1.0, st["env_mis"])
+            bsdf_pdf = jnp.where(spawn, -1.0, st["bsdf_pdf"])
             active = active | spawn
             rays = st["rays"] + jnp.sum(active, dtype=jnp.float32)
 
@@ -166,9 +166,11 @@ def make_regen_integrator(settings: RenderSettings, width, height,
 
             surf = active & ~sampled_medium
             miss = surf & (hit_t > 1e10)
-            env = env_radiance(scene, settings, raydir, cam_vec[15])
-            accu = accu + jnp.where(miss[:, None],
-                                    mask * env_mis[:, None] * env, 0.0)
+            # radiance + sampler pdf ride ONE gather; bsdf_pdf (recorded at
+            # the previous diffuse vertex, negative = weight 1) closes MIS
+            env = env_miss_weighted(scene, settings, raydir, bsdf_pdf,
+                                    cam_vec[15])
+            accu = accu + jnp.where(miss[:, None], mask * env, 0.0)
             surf = surf & ~miss
 
             hitpoint = orig + raydir * hit_t[:, None]
@@ -217,8 +219,7 @@ def make_regen_integrator(settings: RenderSettings, width, height,
             raydir = jnp.where(surf[:, None], new_dir, raydir)
 
             if settings.use_envmap and settings.env_importance_sampling:
-                from .envsample import (
-                    sample_env, env_pdf_of_dir, power_heuristic)
+                from .envsample import sample_env, power_heuristic
                 rng, (e1, e2) = RaySampler.next_n(rng, 2)
                 d_env, pdf_env, L_env = sample_env(scene, e1, e2,
                                                    cam_vec[15])
@@ -237,11 +238,9 @@ def make_regen_integrator(settings: RenderSettings, width, height,
                 accu = accu + jnp.where(
                     lit[:, None], mask_prev * f * scale[:, None] * L_env, 0.0)
                 cos_n = jnp.maximum(dot(raydir, nl), 0.0)
-                pdf_en = env_pdf_of_dir(scene, raydir, cam_vec[15])
-                env_mis = jnp.where(
-                    surf & diff_lane,
-                    power_heuristic(cos_n * INV_PI, pdf_en),
-                    jnp.where(surf, 1.0, env_mis))
+                bsdf_pdf = jnp.where(
+                    surf & diff_lane, cos_n * INV_PI,
+                    jnp.where(surf, -1.0, bsdf_pdf))
 
             if settings.use_distant_light:
                 from ..materials.fresnel import (
@@ -307,7 +306,7 @@ def make_regen_integrator(settings: RenderSettings, width, height,
                 "next": nxt, "active": active,
                 "orig": orig, "dir": raydir, "mask": mask, "accu": accu,
                 "rng": rng, "lbn": lbn, "bounce": bounce, "pixel": pixel,
-                "medium_id": medium_id, "env_mis": env_mis,
+                "medium_id": medium_id, "bsdf_pdf": bsdf_pdf,
             }
             if settings.regen_order == "compact":
                 # stable-compact survivors to the front; dead lanes collect
@@ -326,7 +325,7 @@ def make_regen_integrator(settings: RenderSettings, width, height,
                 # two packed row-gathers instead of eleven scalar gathers
                 fmat = jnp.concatenate(
                     [out["orig"], out["dir"], out["mask"], out["accu"],
-                     out["env_mis"][:, None]], axis=1)
+                     out["bsdf_pdf"][:, None]], axis=1)
                 imat = jnp.stack(
                     [out["rng"].astype(jnp.int32), out["lbn"], out["bounce"],
                      out["pixel"], out["medium_id"], su], axis=1)
@@ -334,7 +333,7 @@ def make_regen_integrator(settings: RenderSettings, width, height,
                 imat = jnp.take(imat, src, axis=0)
                 out["orig"], out["dir"], out["mask"], out["accu"] = (
                     fmat[:, 0:3], fmat[:, 3:6], fmat[:, 6:9], fmat[:, 9:12])
-                out["env_mis"] = fmat[:, 12]
+                out["bsdf_pdf"] = fmat[:, 12]
                 out["rng"] = imat[:, 0].astype(jnp.uint32)
                 out["lbn"], out["bounce"] = imat[:, 1], imat[:, 2]
                 out["pixel"], out["medium_id"] = imat[:, 3], imat[:, 4]

@@ -179,13 +179,24 @@ class Renderer:
         from ..scene.texture import make_quad_texture
         if envmap is not None:
             env = np.asarray(envmap, np.float32)
-            scene["envmap_quad"] = jnp.asarray(
-                make_quad_texture(env, wrap_u=False, wrap_v=False))
+            equad = make_quad_texture(env, wrap_u=False, wrap_v=False)
             scene["env_h"], scene["env_w"] = env.shape[0], env.shape[1]
             if settings.env_importance_sampling:
                 from .envsample import build_env_distribution
-                for k, v in build_env_distribution(env).items():
+                dist = build_env_distribution(env)
+                for k, v in dist.items():
                     scene[k] = jnp.asarray(v)
+                # fold the sampler pdf into the quad rows (cols 12:16, same
+                # clamped-neighbor layout) so the miss-path fetch returns
+                # radiance AND pdf from one gather (texture.py
+                # sample_envmap_quad_pdf) — no separate env_pdf_of_dir pass
+                p = dist["env_pdf_uv"].astype(np.float32)
+                pxn = np.concatenate([p[:, 1:], p[:, -1:]], axis=1)
+                pyn = np.concatenate([p[1:], p[-1:]], axis=0)
+                pyxn = np.concatenate([pxn[1:], pxn[-1:]], axis=0)
+                pq = np.stack([p, pxn, pyn, pyxn], axis=-1).reshape(-1, 4)
+                equad = np.concatenate([equad, pq], axis=1)
+            scene["envmap_quad"] = jnp.asarray(equad)
         if texture is not None:
             tex = np.asarray(texture, np.float32)
             scene["texture_quad"] = jnp.asarray(

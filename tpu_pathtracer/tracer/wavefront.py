@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.vecmath import (
-    RAY_MIN, RAY_MAX, INV_PI, dot, dotk, normalize, reflect, barycentric,
+    RAY_MIN, RAY_MAX, INV_PI, PI, dot, dotk, normalize, reflect, barycentric,
 )
 
 from ..core.rng import RaySampler
@@ -219,6 +219,33 @@ def env_radiance(scene, settings: RenderSettings, raydir, env_rotation):
     return jnp.broadcast_to(scene["env_const"], raydir.shape)
 
 
+def env_miss_weighted(scene, settings: RenderSettings, raydir, bsdf_pdf,
+                      env_rotation):
+    """Environment radiance already weighted by the BSDF-side MIS factor.
+
+    bsdf_pdf: per-lane solid-angle pdf of the draw that produced `raydir`
+    at the previous diffuse vertex, or a NEGATIVE sentinel when no env
+    next-event estimation happened there (weight 1). The sampler pdf comes
+    out of the SAME quad-row gather as the radiance (cols 12:16, see
+    texture.sample_envmap_quad_pdf) — this replaces the separate
+    ~8 ms/wave env_pdf_of_dir gather the integrators used to pay on every
+    iteration, with bit-identical results."""
+    if not settings.use_envmap:
+        return jnp.broadcast_to(scene["env_const"], raydir.shape)
+    if not settings.env_importance_sampling:
+        return env_radiance(scene, settings, raydir, env_rotation)
+    from ..scene.texture import sample_envmap_quad_pdf
+    from .envsample import power_heuristic
+    L, p_uv = sample_envmap_quad_pdf(
+        scene["envmap_quad"], scene["env_h"], scene["env_w"], raydir,
+        env_rotation)
+    y = raydir[:, 1]
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - y * y, 1e-8))
+    pdf_e = p_uv / (2.0 * PI * PI * sin_t)
+    w = jnp.where(bsdf_pdf < 0.0, 1.0, power_heuristic(bsdf_pdf, pdf_e))
+    return w[:, None] * L
+
+
 def texture_radiance(scene, hit_uv):
     return sample_texture_quad(scene["texture_quad"], scene["tex_h"],
                                scene["tex_w"], hit_uv[:, 0], hit_uv[:, 1])
@@ -378,11 +405,12 @@ def make_integrator(settings: RenderSettings):
             # gather every iteration.
             miss = surf & (hit_t > 1e10)
             miss_dir = jnp.where(miss[:, None], raydir, st["miss_dir"])
-            # env_mis carries the BSDF-side MIS weight when the previous
-            # vertex also did env next-event estimation
-            miss_mask = jnp.where(miss[:, None],
-                                  mask * st["env_mis"][:, None],
-                                  st["miss_mask"])
+            # bsdf_pdf carries the pdf of the draw that produced this ray
+            # when the previous vertex also did env next-event estimation
+            # (negative = no NEE there, MIS weight 1); the weight itself is
+            # applied in the single deferred env fetch after the loop
+            miss_mask = jnp.where(miss[:, None], mask, st["miss_mask"])
+            miss_bpdf = jnp.where(miss, st["bsdf_pdf"], st["miss_bpdf"])
             active = active & ~miss
             surf = surf & ~miss
 
@@ -441,10 +469,9 @@ def make_integrator(settings: RenderSettings):
             raydir = jnp.where(surf[:, None], new_dir, raydir)
 
             # ---------- envmap next-event estimation + MIS ----------
-            env_mis = st["env_mis"]
+            bsdf_pdf = st["bsdf_pdf"]
             if settings.use_envmap and settings.env_importance_sampling:
-                from .envsample import (
-                    sample_env, env_pdf_of_dir, power_heuristic)
+                from .envsample import sample_env, power_heuristic
                 rng, (e1, e2) = RaySampler.next_n(rng, 2)
                 d_env, pdf_env, L_env = sample_env(scene, e1, e2,
                                                    cam_env_rotation)
@@ -461,14 +488,14 @@ def make_integrator(settings: RenderSettings):
                 scale = cos_e / jnp.maximum(pdf_env, 1e-12) * w
                 accum = accum + jnp.where(
                     lit[:, None], mask_prev * f * scale[:, None] * L_env, 0.0)
-                # complementary weight for the BSDF-sampled env hit on the
-                # NEXT segment of diffuse lanes
+                # record the BSDF pdf of the new direction on diffuse
+                # lanes; the complementary MIS weight is computed at the
+                # deferred env fetch (env pdf rides the same quad gather)
                 cos_n = jnp.maximum(dot(raydir, nl), 0.0)
                 pdf_bn = cos_n * INV_PI
-                pdf_en = env_pdf_of_dir(scene, raydir, cam_env_rotation)
-                env_mis = jnp.where(
-                    surf & diff_lane, power_heuristic(pdf_bn, pdf_en),
-                    jnp.where(surf, 1.0, env_mis))
+                bsdf_pdf = jnp.where(
+                    surf & diff_lane, pdf_bn,
+                    jnp.where(surf, -1.0, bsdf_pdf))
 
             # ---------- distant light importance sampling ----------
             # (USE_DISTANT_LIGHT, src/renderkernel.cu:54,611-636,815-841:
@@ -532,7 +559,7 @@ def make_integrator(settings: RenderSettings):
                 "accum": accum, "active": active, "lbn": lbn,
                 "bounce": bounce, "medium_id": medium_id,
                 "miss_dir": miss_dir, "miss_mask": miss_mask,
-                "env_mis": env_mis,
+                "miss_bpdf": miss_bpdf, "bsdf_pdf": bsdf_pdf,
             }
 
         st = {
@@ -541,12 +568,13 @@ def make_integrator(settings: RenderSettings):
             "bounce": bounce, "medium_id": medium_id,
             "miss_dir": jnp.zeros((N, 3), jnp.float32),
             "miss_mask": jnp.zeros((N, 3), jnp.float32),
-            "env_mis": jnp.ones((N,), jnp.float32),
+            "miss_bpdf": jnp.full((N,), -1.0, jnp.float32),
+            "bsdf_pdf": jnp.full((N,), -1.0, jnp.float32),
         }
         st = jax.lax.while_loop(cond, body, st)
-        # deferred environment contribution (once per path)
-        env = env_radiance(scene, settings, st["miss_dir"],
-                           cam_env_rotation)
+        # deferred environment contribution (once per path), MIS-weighted
+        env = env_miss_weighted(scene, settings, st["miss_dir"],
+                                st["miss_bpdf"], cam_env_rotation)
         return st["rng"], st["accum"] + st["miss_mask"] * env
 
     return integrate
