@@ -98,8 +98,10 @@ def main():
     def chained_trace(o, d, M):
         def body(i, carry):
             tm = RAY_MIN * (1.0 + 1e-7 * i.astype(jnp.float32))
+            # (16,4) measured best for coherent primaries on v5e
+            # (364 Mrays/s vs 275 at sub=8, 268 at sub=32)
             s, t = packet_intersect(packed, o, d, tm, RAY_MAX,
-                                    stack_depth=sd, tile_sub=8)
+                                    stack_depth=sd, tile_sub=16)
             return carry + t[::65536].sum()
         return jax.lax.fori_loop(0, M, body, jnp.float32(0.0))
 

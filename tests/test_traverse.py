@@ -107,3 +107,34 @@ def test_geometric_normal_faces_triangle(scene):
     nn = n / np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-20)
     align = np.abs(np.sum(nn * face_n, -1))
     assert np.all(align[hit] > 0.999)
+
+
+def test_packet_kernel_orders_match_brute_force(scene):
+    """Pallas packet kernel (interpret mode) vs brute force, for both
+    near-child orderings. "axis" ordering must change ONLY step counts,
+    never results. (Interpret mode does not catch Mosaic miscompiles —
+    bench.py re-gates the kernel on the real device.)"""
+    from tpu_pathtracer.tracer.traverse import pack_stream
+    from tpu_pathtracer.ops.traverse_packet import packet_intersect
+    from tpu_pathtracer.core.vecmath import RAY_MIN, RAY_MAX
+
+    mesh, fb = scene
+    packed = jnp.asarray(pack_stream(fb.prims, fb.meta))
+    orig, d = _random_rays(512, 11)
+    bs, bt = brute_force_intersect(mesh.tri_vertices(), orig, d,
+                                   RAY_MIN, RAY_MAX)
+    outs = {}
+    for order in ("entry", "axis"):
+        s, t = packet_intersect(packed, jnp.asarray(orig), jnp.asarray(d),
+                                RAY_MIN, RAY_MAX,
+                                stack_depth=fb.max_depth + 2,
+                                order=order, interpret=True)
+        ours = np.where(np.asarray(s) >= 0,
+                        fb.tri_orig[np.maximum(np.asarray(s), 0)], -1)
+        assert (ours == bs).mean() > 0.999, order
+        hit = bs >= 0
+        np.testing.assert_allclose(np.asarray(t)[hit], bt[hit], rtol=1e-4,
+                                   err_msg=order)
+        outs[order] = np.asarray(s)
+    # orderings agree with each other exactly
+    np.testing.assert_array_equal(outs["entry"], outs["axis"])

@@ -40,9 +40,16 @@ SENTINEL = np.int32(0x76543210)
 F32_BIG = np.float32(1e30)
 
 
-def _make_step(tab_ref, rays, anyhit):
+def _make_step(tab_ref, rays, anyhit, order="entry"):
     """Returns step(state, stack_base, stack_ref) -> state for ONE packet.
-    rays: dict of per-lane (SUB,128) arrays + precomputed idir/ood."""
+    rays: dict of per-lane (SUB,128) arrays + precomputed idir/ood.
+
+    order="entry": near child by per-step entry-distance min-reductions
+    (two cross-lane reductions per node step).
+    order="axis": near child from the row's stored child-order code
+    (pack_stream col 14) + the packet's majority direction sign — ONE
+    packed int-sum vote per node step, no float reductions. Hit results
+    are identical either way (ordering only affects step counts)."""
     ox, oy, oz = rays["ox"], rays["oy"], rays["oz"]
     dx, dy, dz = rays["dx"], rays["dy"], rays["dz"]
     idx_, idy, idz = rays["idx"], rays["idy"], rays["idz"]
@@ -105,12 +112,28 @@ def _make_step(tab_ref, rays, anyhit):
                             jnp.minimum(jnp.maximum(c1loz, c1hiz), hit_t))
         v0 = vote & (c0min <= c0max)
         v1 = vote & (c1min <= c1max)
-        e0 = jnp.min(jnp.where(v0, c0min, F32_BIG))
-        e1 = jnp.min(jnp.where(v1, c1min, F32_BIG))
-        any0 = e0 < F32_BIG
-        any1 = e1 < F32_BIG
-        both = any0 & any1
-        swap = both & (e1 < e0)
+        if order == "axis":
+            # one packed int-sum vote: per-child lane counts in disjoint
+            # 16-bit fields (counts <= sub*128 << 65536)
+            s = jnp.sum(v0.astype(jnp.int32)
+                        + (v1.astype(jnp.int32) << 16))
+            any0 = (s & 0xFFFF) != 0
+            any1 = (s >> 16) != 0
+            both = any0 & any1
+            code = sci(14)
+            axis = code & 3
+            c1g = (code >> 2) & 1
+            fwd_a = jnp.where(axis == 0, rays["fwd"][0],
+                              jnp.where(axis == 1, rays["fwd"][1],
+                                        rays["fwd"][2]))
+            swap = both & ((fwd_a ^ c1g) == 1)
+        else:
+            e0 = jnp.min(jnp.where(v0, c0min, F32_BIG))
+            e1 = jnp.min(jnp.where(v1, c1min, F32_BIG))
+            any0 = e0 < F32_BIG
+            any1 = e1 < F32_BIG
+            both = any0 & any1
+            swap = both & (e1 < e0)
         near = jnp.where(swap, m1, m0)
         far = jnp.where(swap, m0, m1)
         node_next = jnp.where(both, near, jnp.where(any0, m0, m1))
@@ -160,7 +183,7 @@ def _make_step(tab_ref, rays, anyhit):
 
 def _kernel(tab_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             tmin_ref, tmax_ref, act_ref, slot_ref, t_ref, stack_ref,
-            *, anyhit, stack_depth, interleave, sub):
+            *, anyhit, stack_depth, interleave, sub, order):
     G = interleave
     ooeps = jnp.float32(2.0 ** -80)
 
@@ -188,13 +211,19 @@ def _kernel(tab_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
         rays["oodx"] = rays["ox"] * rays["idx"]
         rays["oody"] = rays["oy"] * rays["idy"]
         rays["oodz"] = rays["oz"] * rays["idz"]
+        if order == "axis":
+            # packet majority direction sign per axis (one-time reductions)
+            rays["fwd"] = tuple(
+                jnp.where(jnp.sum(jnp.where(rays["act"] & (d >= 0), 1, -1))
+                          >= 0, jnp.int32(1), jnp.int32(0))
+                for d in (rays["dx"], rays["dy"], rays["dz"]))
         tmax_g = tmax_ref[sl, :]
         hit_t0 = jnp.where(rays["act"], tmax_g, rays["tmin"])
         cur0 = jnp.where(jnp.any(rays["act"]), jnp.int32(0), SENTINEL)
         states.append((cur0, jnp.int32(0),
                        jnp.full((sub, 128), -1, jnp.int32), hit_t0,
                        jnp.zeros((sub, 128), jnp.int32)))
-        steps.append(_make_step(tab_ref, rays, anyhit))
+        steps.append(_make_step(tab_ref, rays, anyhit, order=order))
 
     def cond(c):
         alive = c[0][0] != SENTINEL
@@ -219,7 +248,7 @@ def _kernel(tab_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
 
 def packet_intersect(packed, orig, raydir, tmin, tmax, anyhit=False,
                      stack_depth=64, active=None, tile_sub=8, interleave=4,
-                     interpret=False):
+                     order="entry", interpret=False):
     """Packet-traverse rays against the packed (K,16) primitive stream.
 
     orig/raydir: [N,3]; N is padded to tile_sub*interleave*128 internally.
@@ -257,7 +286,7 @@ def packet_intersect(packed, orig, raydir, tmin, tmax, anyhit=False,
 
     slot, t = pl.pallas_call(
         functools.partial(_kernel, anyhit=anyhit, stack_depth=stack_depth,
-                          interleave=interleave, sub=tile_sub),
+                          interleave=interleave, sub=tile_sub, order=order),
         grid=(n_tiles,),
         in_specs=[tab_spec] + [ray_spec] * 9,
         out_specs=[ray_spec, ray_spec],

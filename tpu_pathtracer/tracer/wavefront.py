@@ -94,6 +94,11 @@ class RenderSettings:
     # independent packets interleaved per kernel instance (scalar-latency
     # hiding; see ops/traverse_packet.py)
     packet_interleave: int = 4
+    # near-child ordering inside the packet step: "entry" = per-step
+    # entry-distance min-reductions, "axis" = stored child-order code +
+    # packet majority sign (one packed int vote, no float reductions).
+    # Hit results identical; only step counts/latency differ.
+    packet_order: str = "entry"
     # compact rays (dead lanes last) before each packet traversal. Measured
     # NET-NEGATIVE on the demo scene (the argsort+permute costs more than
     # retiring packets saves) — kept as an option for scenes with much
@@ -116,7 +121,8 @@ def trace_rays(scene, settings: RenderSettings, orig, raydir, tmin, tmax,
                 scene["packed"], o, d, tmin, tmax, anyhit=anyhit,
                 stack_depth=settings.stack_depth, active=act,
                 tile_sub=settings.packet_tile_sub,
-                interleave=settings.packet_interleave)
+                interleave=settings.packet_interleave,
+                order=settings.packet_order)
 
         N = orig.shape[0]
         if settings.sort_rays and N >= 4096:
