@@ -89,15 +89,20 @@ class RenderSettings:
     # so fatter packets cut total steps; with the compact pool the larger
     # union footprint stays cheap. Measured end-to-end on v5e (1024^2 demo,
     # compact pool, ms per 1-spp frame): sub=8 910, sub=16 694, sub=32 604;
-    # raw pool-incoherent traversal (32,4) 20.3 Mrays/s vs (16,4) 18.3.
-    packet_tile_sub: int = 32
+    # after the round-2 gather/scatter cuts: (32,4) 474, (64,4) 469,
+    # (64,2) 461, (32,8) 501.
+    packet_tile_sub: int = 64
     # independent packets interleaved per kernel instance (scalar-latency
-    # hiding; see ops/traverse_packet.py)
-    packet_interleave: int = 4
+    # hiding; see ops/traverse_packet.py). 2 instances of 64x128-ray
+    # packets measured best end-to-end (fewer wasted spins waiting on
+    # straggler packets than il=4).
+    packet_interleave: int = 2
     # near-child ordering inside the packet step: "entry" = per-step
     # entry-distance min-reductions, "axis" = stored child-order code +
     # packet majority sign (one packed int vote, no float reductions).
-    # Hit results identical; only step counts/latency differ.
+    # Hit results identical; only step counts/latency differ. Measured
+    # end-to-end: axis 581 ms vs entry 474 — the cheaper step does NOT pay
+    # for the extra steps from the weaker ordering; entry stays default.
     packet_order: str = "entry"
     # compact rays (dead lanes last) before each packet traversal. Measured
     # NET-NEGATIVE on the demo scene (the argsort+permute costs more than
