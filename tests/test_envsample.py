@@ -191,3 +191,50 @@ def test_alias_row_radiance_matches_bilinear_fetch():
         d, pdf, L = sample_env(scene, u1, u2, rot)
         L_ref = env_radiance(scene, RenderSettings(), d, jnp.float32(rot))
         assert np.abs(np.asarray(L) - np.asarray(L_ref)).max() < 1e-4
+
+
+def test_quad_folded_pdf_matches_env_pdf_of_dir():
+    """The pdf folded into the 16-col envmap quad rows (miss-path fetch,
+    texture.sample_envmap_quad_pdf) must reproduce env_pdf_of_dir's
+    separate-gather value BIT FOR BIT for arbitrary directions — the MIS
+    power-heuristic weights on the NEE side and the miss side must agree
+    exactly or the estimator drifts."""
+    import jax.numpy as jnp
+    from tpu_pathtracer.scene import procedural
+    from tpu_pathtracer.scene.texture import (
+        make_quad_texture, sample_envmap_quad, sample_envmap_quad_pdf)
+    from tpu_pathtracer.tracer.envsample import (
+        build_env_distribution, env_pdf_of_dir)
+    from tpu_pathtracer.core.vecmath import PI
+
+    env = procedural.make_sky_envmap(64, 32)
+    H, W = env.shape[0], env.shape[1]
+    dist = build_env_distribution(env)
+    scene = {k: jnp.asarray(v) for k, v in dist.items()}
+    equad = make_quad_texture(np.asarray(env, np.float32),
+                              wrap_u=False, wrap_v=False)
+    p = dist["env_pdf_uv"].astype(np.float32)
+    pxn = np.concatenate([p[:, 1:], p[:, -1:]], axis=1)
+    pyn = np.concatenate([p[1:], p[-1:]], axis=0)
+    pyxn = np.concatenate([pxn[1:], pxn[-1:]], axis=0)
+    pq = np.stack([p, pxn, pyn, pyxn], axis=-1).reshape(-1, 4)
+    quad16 = jnp.asarray(np.concatenate([equad, pq], axis=1))
+
+    rs = np.random.default_rng(5)
+    d = rs.normal(size=(50000, 3)).astype(np.float32)
+    # include poles and axis-aligned edge cases
+    d[:8] = [[0, 1, 0], [0, -1, 0], [1, 0, 0], [-1, 0, 0],
+             [0, 0, 1], [0, 0, -1], [0, 0.999999, 0.001], [0.001, -0.999999, 0]]
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    dj = jnp.asarray(d)
+    for rot in (0.0, 0.27, 0.93):
+        L, p_uv = sample_envmap_quad_pdf(quad16, H, W, dj, jnp.float32(rot))
+        y = dj[:, 1]
+        sin_t = jnp.sqrt(jnp.maximum(1.0 - y * y, 1e-8))
+        pdf_fold = np.asarray(p_uv / (2.0 * PI * PI * sin_t))
+        pdf_ref = np.asarray(env_pdf_of_dir(scene, dj, jnp.float32(rot)))
+        np.testing.assert_array_equal(pdf_fold, pdf_ref)
+        # and the radiance channel matches the 12-col fetch
+        L12 = sample_envmap_quad(jnp.asarray(equad), H, W, dj,
+                                 jnp.float32(rot))
+        np.testing.assert_array_equal(np.asarray(L), np.asarray(L12))

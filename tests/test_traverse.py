@@ -124,7 +124,7 @@ def test_packet_kernel_orders_match_brute_force(scene):
     bs, bt = brute_force_intersect(mesh.tri_vertices(), orig, d,
                                    RAY_MIN, RAY_MAX)
     outs = {}
-    for order in ("entry", "axis"):
+    for order in ("entry", "entry-sampled", "axis"):
         s, t = packet_intersect(packed, jnp.asarray(orig), jnp.asarray(d),
                                 RAY_MIN, RAY_MAX,
                                 stack_depth=fb.max_depth + 2,
@@ -138,3 +138,4 @@ def test_packet_kernel_orders_match_brute_force(scene):
         outs[order] = np.asarray(s)
     # orderings agree with each other exactly
     np.testing.assert_array_equal(outs["entry"], outs["axis"])
+    np.testing.assert_array_equal(outs["entry"], outs["entry-sampled"])

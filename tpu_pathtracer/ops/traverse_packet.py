@@ -45,11 +45,13 @@ def _make_step(tab_ref, rays, anyhit, order="entry"):
     rays: dict of per-lane (SUB,128) arrays + precomputed idir/ood.
 
     order="entry": near child by per-step entry-distance min-reductions
-    (two cross-lane reductions per node step).
+    (two full-packet cross-lane reductions per node step).
+    order="entry-sampled": exact votes via one packed int-sum; ordering
+    from a 4-row lane sample's entry distances.
     order="axis": near child from the row's stored child-order code
     (pack_stream col 14) + the packet's majority direction sign — ONE
     packed int-sum vote per node step, no float reductions. Hit results
-    are identical either way (ordering only affects step counts)."""
+    are identical in all modes (ordering only affects step counts)."""
     ox, oy, oz = rays["ox"], rays["oy"], rays["oz"]
     dx, dy, dz = rays["dx"], rays["dy"], rays["dz"]
     idx_, idy, idz = rays["idx"], rays["idy"], rays["idz"]
@@ -112,7 +114,21 @@ def _make_step(tab_ref, rays, anyhit, order="entry"):
                             jnp.minimum(jnp.maximum(c1loz, c1hiz), hit_t))
         v0 = vote & (c0min <= c0max)
         v1 = vote & (c1min <= c1max)
-        if order == "axis":
+        if order == "entry-sampled":
+            # exact hit votes from ONE packed sum-reduction; near-child
+            # ordering from entry distances of a 4-row lane SAMPLE (the
+            # ordering is a traversal heuristic — only the votes must be
+            # exact). Replaces two full-packet float min-reductions per
+            # step with one int sum + two (4,128) mins.
+            s = jnp.sum(v0.astype(jnp.int32)
+                        + (v1.astype(jnp.int32) << 16))
+            any0 = (s & 0xFFFF) != 0
+            any1 = (s >> 16) != 0
+            both = any0 & any1
+            e0 = jnp.min(jnp.where(v0[0:4, :], c0min[0:4, :], F32_BIG))
+            e1 = jnp.min(jnp.where(v1[0:4, :], c1min[0:4, :], F32_BIG))
+            swap = both & (e1 < e0)
+        elif order == "axis":
             # one packed int-sum vote: per-child lane counts in disjoint
             # 16-bit fields (counts <= sub*128 << 65536)
             s = jnp.sum(v0.astype(jnp.int32)
