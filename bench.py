@@ -72,15 +72,25 @@ def main():
     co[:, 1] = chk.uniform(0.3, 3, n_chk)
     cd = chk.normal(size=(n_chk, 3)).astype(np.float32)
     cd /= np.linalg.norm(cd, axis=-1, keepdims=True)
-    cs, ct = packet_intersect(packed, jnp.asarray(co), jnp.asarray(cd),
-                              RAY_MIN, RAY_MAX, stack_depth=sd, tile_sub=8)
-    cs = np.asarray(cs)
     bt, _ = brute_force_intersect(make_test_scene().tri_vertices(), co, cd,
                                   RAY_MIN, RAY_MAX)
-    ours = np.where(cs >= 0, fb.tri_orig[np.maximum(cs, 0)], -1)
-    agree = float((ours == bt).mean())
-    assert agree > 0.999, (
-        "packet kernel wrong on device: %.4f agreement" % agree)
+    # gate EVERY kernel specialization a number below is measured with —
+    # Mosaic miscompiles are config-specific (a sub=8 gate says nothing
+    # about the sub=64 instance the regen integrator runs)
+    from tpu_pathtracer.tracer.wavefront import RenderSettings
+    _defaults = RenderSettings()
+    gate_cfgs = {(8, 4), (16, 4),
+                 (_defaults.packet_tile_sub, _defaults.packet_interleave)}
+    for g_sub, g_il in sorted(gate_cfgs):
+        cs, ct = packet_intersect(packed, jnp.asarray(co), jnp.asarray(cd),
+                                  RAY_MIN, RAY_MAX, stack_depth=sd,
+                                  tile_sub=g_sub, interleave=g_il)
+        cs = np.asarray(cs)
+        ours = np.where(cs >= 0, fb.tri_orig[np.maximum(cs, 0)], -1)
+        agree = float((ours == bt).mean())
+        assert agree > 0.999, (
+            "packet kernel (%d,%d) wrong on device: %.4f agreement"
+            % (g_sub, g_il, agree))
 
     # ---------------- axis 1: traversal Mrays/s at 1024^2 ----------------
     W = H = 1024

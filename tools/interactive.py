@@ -102,10 +102,16 @@ def main():
     # resolution for latency (the reference keeps full res and simply
     # drops to low accumulation; at TPU dispatch latencies half-res is
     # the better interactivity tradeoff — measured 45 ms/frame at 256^2
-    # vs 139 ms at 512^2 on v5e)
-    Wl, Hl = max(W // 2, 32), max(H // 2, 32)
-    renderer_lo = Renderer(fb, mats, envmap=envmap, texture=texture,
-                           width=Wl, height=Hl)
+    # vs 139 ms at 512^2 on v5e). Shares the full renderer's device
+    # scene arrays (base_scene) — only the lane tables differ. Enabled
+    # only when the upscale is exact (even W/H), else moving frames
+    # simply render at full res.
+    renderer_lo = None
+    if W % 2 == 0 and H % 2 == 0 and W >= 64 and H >= 64:
+        Wl, Hl = W // 2, H // 2
+        renderer_lo = Renderer(fb, mats, envmap=envmap, texture=texture,
+                               width=Wl, height=Hl,
+                               base_scene=renderer.scene)
 
     accum = renderer.zeros_accum()
     frame = 0
@@ -179,7 +185,7 @@ def main():
                 accum = renderer.zeros_accum()
                 frame = 0
                 last_move = now
-            moving = (now - last_move) < 0.25
+            moving = (now - last_move) < 0.25 and renderer_lo is not None
             if moving:
                 # half-res single-sample preview while the camera moves
                 icam.set_resolution(Wl, Hl)

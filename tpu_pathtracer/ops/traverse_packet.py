@@ -119,7 +119,9 @@ def _make_step(tab_ref, rays, anyhit, order="entry"):
             # ordering from entry distances of a 4-row lane SAMPLE (the
             # ordering is a traversal heuristic — only the votes must be
             # exact). Replaces two full-packet float min-reductions per
-            # step with one int sum + two (4,128) mins.
+            # step with one int sum + two (4,128) mins. Packed 16-bit
+            # counts require sub*128 < 65536 (asserted in
+            # packet_intersect).
             s = jnp.sum(v0.astype(jnp.int32)
                         + (v1.astype(jnp.int32) << 16))
             any0 = (s & 0xFFFF) != 0
@@ -130,7 +132,7 @@ def _make_step(tab_ref, rays, anyhit, order="entry"):
             swap = both & (e1 < e0)
         elif order == "axis":
             # one packed int-sum vote: per-child lane counts in disjoint
-            # 16-bit fields (counts <= sub*128 << 65536)
+            # 16-bit fields (counts = sub*128 < 65536, asserted below)
             s = jnp.sum(v0.astype(jnp.int32)
                         + (v1.astype(jnp.int32) << 16))
             any0 = (s & 0xFFFF) != 0
@@ -228,10 +230,13 @@ def _kernel(tab_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
         rays["oody"] = rays["oy"] * rays["idy"]
         rays["oodz"] = rays["oz"] * rays["idz"]
         if order == "axis":
-            # packet majority direction sign per axis (one-time reductions)
+            # packet majority direction sign per axis (one-time
+            # reductions); inactive lanes abstain (contribute 0)
             rays["fwd"] = tuple(
-                jnp.where(jnp.sum(jnp.where(rays["act"] & (d >= 0), 1, -1))
-                          >= 0, jnp.int32(1), jnp.int32(0))
+                jnp.where(jnp.sum(jnp.where(rays["act"],
+                                            jnp.where(d >= 0, 1, -1),
+                                            0)) >= 0,
+                          jnp.int32(1), jnp.int32(0))
                 for d in (rays["dx"], rays["dy"], rays["dz"]))
         tmax_g = tmax_ref[sl, :]
         hit_t0 = jnp.where(rays["act"], tmax_g, rays["tmin"])
@@ -272,6 +277,10 @@ def packet_intersect(packed, orig, raydir, tmin, tmax, anyhit=False,
     """
     N = orig.shape[0]
     LANES = 128
+    if order != "entry" and tile_sub * LANES >= 1 << 16:
+        # packed per-child 16-bit lane counts overflow at sub >= 512
+        raise ValueError("order=%r requires tile_sub < 512 (packed 16-bit "
+                         "hit-vote counts)" % order)
     T = tile_sub * LANES * interleave
     n_tiles = -(-N // T)
     Np = n_tiles * T

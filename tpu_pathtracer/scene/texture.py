@@ -164,13 +164,7 @@ def sample_texture_quad(quad, H, W, u, v):
 def sample_envmap_quad(quad, H, W, raydir, rotation):
     """Environment lookup via quad rows (envLight mapping,
     src/renderkernel.cu:422-437; clamp addressing)."""
-    x = raydir[..., 0]
-    y = raydir[..., 1]
-    z = raydir[..., 2]
-    longlat_x = jnp.arctan2(x, z)
-    longlat_x = jnp.where(longlat_x < 0.0, longlat_x + TWO_PI, longlat_x)
-    u = jnp.mod(longlat_x / TWO_PI + rotation, 1.0)
-    v = jnp.arccos(jnp.clip(y, -1.0, 1.0)) / PI
+    u, v = _uv_from_dir(raydir, rotation)
     return _bilinear_quad(quad, H, W, u, v, wrap_u=False, wrap_v=False)
 
 
@@ -178,11 +172,5 @@ def sample_envmap(env, raydir, rotation):
     """HDR environment lookup; mirrors envLight (src/renderkernel.cu:422-437):
     lat-long mapping with Y up, u = atan2(x, z)/2pi + rotation (mod 1),
     v = acos(y)/pi, clamp address mode, bilinear filter."""
-    x = raydir[..., 0]
-    y = raydir[..., 1]
-    z = raydir[..., 2]
-    longlat_x = jnp.arctan2(x, z)
-    longlat_x = jnp.where(longlat_x < 0.0, longlat_x + TWO_PI, longlat_x)
-    u = jnp.mod(longlat_x / TWO_PI + rotation, 1.0)
-    v = jnp.arccos(jnp.clip(y, -1.0, 1.0)) / PI
+    u, v = _uv_from_dir(raydir, rotation)
     return _bilinear(env, u, v, wrap_u=False, wrap_v=False)

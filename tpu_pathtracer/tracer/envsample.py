@@ -93,13 +93,11 @@ def _dir_from_uv(u, v, rotation):
 
 def env_pdf_of_dir(scene, raydir, rotation):
     """Solid-angle pdf of the env sampler for given directions [N,3]."""
+    from ..scene.texture import _uv_from_dir
     pdf_uv = scene["env_pdf_uv"]
     H, W = pdf_uv.shape
-    x, y, z = raydir[:, 0], raydir[:, 1], raydir[:, 2]
-    longlat_x = jnp.arctan2(x, z)
-    longlat_x = jnp.where(longlat_x < 0, longlat_x + TWO_PI, longlat_x)
-    u = jnp.mod(longlat_x / TWO_PI + rotation, 1.0)
-    v = jnp.arccos(jnp.clip(y, -1.0, 1.0)) / PI
+    y = raydir[:, 1]
+    u, v = _uv_from_dir(raydir, rotation)
     xi = jnp.clip((u * W).astype(jnp.int32), 0, W - 1)
     yi = jnp.clip((v * H).astype(jnp.int32), 0, H - 1)
     p_uv = jnp.take(pdf_uv.reshape(-1), yi * W + xi)

@@ -27,7 +27,7 @@ from ..core.rng import RaySampler, wang_hash
 from ..scene.config import MAT_DIFF
 from .wavefront import (
     RenderSettings, trace_rays, fetch_attributes, gather_material,
-    env_radiance, env_miss_weighted, texture_radiance, shade,
+    env_miss_weighted, texture_radiance, shade,
 )
 from .traverse import woop_geometric_normal
 from .medium import medium_interaction
@@ -37,7 +37,8 @@ from .renderer import generate_camera_rays, lane_pixel_xy
 
 def make_regen_integrator(settings: RenderSettings, width, height,
                           with_stats=False):
-    """Returns integrate_frames(scene, cam_vec, frame0, accum, n_frames).
+    """Returns integrate_frames(scene, cam_vec, frame0, lane0, accum,
+    n_frames) — lane0 is the shard's global lane offset (0 single-chip).
 
     with_stats=True additionally returns the number of rays actually traced
     (extension + NEE shadow), the honest denominator for end-to-end Mrays/s

@@ -131,7 +131,14 @@ class Renderer:
 
     def __init__(self, flat_bvh, materials, envmap=None, texture=None,
                  width=512, height=512, settings: RenderSettings = None,
-                 lane_chunk=None, env_const=(0.0, 0.0, 0.0)):
+                 lane_chunk=None, env_const=(0.0, 0.0, 0.0),
+                 base_scene=None):
+        """base_scene: share the resolution-independent device arrays
+        (BVH stream, material/attribute tables, envmap quad + alias
+        distribution, textures) of an existing Renderer.scene instead of
+        re-uploading them — for secondary renderers at other resolutions
+        (e.g. the interactive preview). The caller must pass the same
+        flat_bvh/materials/envmap/texture the base was built with."""
         self.width = int(width)
         self.height = int(height)
         mat_arrays = materials_to_arrays(materials)
@@ -150,58 +157,62 @@ class Renderer:
                                       int(flat_bvh.max_depth) + 2))
         self.settings = settings
 
-        from .traverse import pack_stream
-        from .wavefront import pack_tri_attributes, pack_mat_table
-        scene = {
-            "prims": jnp.asarray(flat_bvh.prims),
-            "meta": jnp.asarray(flat_bvh.meta),
-            "packed": jnp.asarray(pack_stream(flat_bvh.prims, flat_bvh.meta)),
-            "num_nodes": flat_bvh.num_nodes,
-            "tri_attr": jnp.asarray(pack_tri_attributes(
-                flat_bvh.tri_pos, flat_bvh.tri_uv, flat_bvh.tri_nrm,
-                flat_bvh.tri_mat)),
-            "tri_mat": jnp.asarray(flat_bvh.tri_mat),
-            "mat_table": jnp.asarray(pack_mat_table(mat_arrays)),
-            "env_const": jnp.asarray(env_const, jnp.float32),
-        }
-        if settings.has_bssrdf:
-            # PBD table (g=0, eta=1.4, 100x64), matching initBssrdfTable
-            # (src/main.cpp:408-415); used by the tabulated sampling path
-            # and available to the SoE path's tests
-            from ..bssrdf.tabulate import compute_beam_diffusion_table
-            tbl = _bssrdf_table_cached()
-            scene["bssrdf_rho"] = jnp.asarray(tbl.rho, jnp.float32)
-            scene["bssrdf_radius"] = jnp.asarray(tbl.radius, jnp.float32)
-            scene["bssrdf_profile"] = jnp.asarray(tbl.profile, jnp.float32)
-            scene["bssrdf_cdf"] = jnp.asarray(tbl.profile_cdf, jnp.float32)
-            scene["bssrdf_rho_eff"] = jnp.asarray(tbl.rho_eff, jnp.float32)
+        if base_scene is not None:
+            scene = {k: v for k, v in base_scene.items()
+                     if not k.startswith("lane_")}
+        else:
+            from .traverse import pack_stream
+            from .wavefront import pack_tri_attributes, pack_mat_table
+            scene = {
+                "prims": jnp.asarray(flat_bvh.prims),
+                "meta": jnp.asarray(flat_bvh.meta),
+                "packed": jnp.asarray(pack_stream(flat_bvh.prims, flat_bvh.meta)),
+                "num_nodes": flat_bvh.num_nodes,
+                "tri_attr": jnp.asarray(pack_tri_attributes(
+                    flat_bvh.tri_pos, flat_bvh.tri_uv, flat_bvh.tri_nrm,
+                    flat_bvh.tri_mat)),
+                "tri_mat": jnp.asarray(flat_bvh.tri_mat),
+                "mat_table": jnp.asarray(pack_mat_table(mat_arrays)),
+                "env_const": jnp.asarray(env_const, jnp.float32),
+            }
+            if settings.has_bssrdf:
+                # PBD table (g=0, eta=1.4, 100x64), matching initBssrdfTable
+                # (src/main.cpp:408-415); used by the tabulated sampling path
+                # and available to the SoE path's tests
+                from ..bssrdf.tabulate import compute_beam_diffusion_table
+                tbl = _bssrdf_table_cached()
+                scene["bssrdf_rho"] = jnp.asarray(tbl.rho, jnp.float32)
+                scene["bssrdf_radius"] = jnp.asarray(tbl.radius, jnp.float32)
+                scene["bssrdf_profile"] = jnp.asarray(tbl.profile, jnp.float32)
+                scene["bssrdf_cdf"] = jnp.asarray(tbl.profile_cdf, jnp.float32)
+                scene["bssrdf_rho_eff"] = jnp.asarray(tbl.rho_eff, jnp.float32)
 
-        from ..scene.texture import make_quad_texture
-        if envmap is not None:
-            env = np.asarray(envmap, np.float32)
-            equad = make_quad_texture(env, wrap_u=False, wrap_v=False)
-            scene["env_h"], scene["env_w"] = env.shape[0], env.shape[1]
-            if settings.env_importance_sampling:
-                from .envsample import build_env_distribution
-                dist = build_env_distribution(env)
-                for k, v in dist.items():
-                    scene[k] = jnp.asarray(v)
-                # fold the sampler pdf into the quad rows (cols 12:16, same
-                # clamped-neighbor layout) so the miss-path fetch returns
-                # radiance AND pdf from one gather (texture.py
-                # sample_envmap_quad_pdf) — no separate env_pdf_of_dir pass
-                p = dist["env_pdf_uv"].astype(np.float32)
-                pxn = np.concatenate([p[:, 1:], p[:, -1:]], axis=1)
-                pyn = np.concatenate([p[1:], p[-1:]], axis=0)
-                pyxn = np.concatenate([pxn[1:], pxn[-1:]], axis=0)
-                pq = np.stack([p, pxn, pyn, pyxn], axis=-1).reshape(-1, 4)
-                equad = np.concatenate([equad, pq], axis=1)
-            scene["envmap_quad"] = jnp.asarray(equad)
-        if texture is not None:
-            tex = np.asarray(texture, np.float32)
-            scene["texture_quad"] = jnp.asarray(
-                make_quad_texture(tex, wrap_u=True, wrap_v=True))
-            scene["tex_h"], scene["tex_w"] = tex.shape[0], tex.shape[1]
+            from ..scene.texture import make_quad_texture
+            if envmap is not None:
+                env = np.asarray(envmap, np.float32)
+                equad = make_quad_texture(env, wrap_u=False, wrap_v=False)
+                scene["env_h"], scene["env_w"] = env.shape[0], env.shape[1]
+                if settings.env_importance_sampling:
+                    from .envsample import build_env_distribution
+                    dist = build_env_distribution(env)
+                    for k, v in dist.items():
+                        scene[k] = jnp.asarray(v)
+                    # fold the sampler pdf into the quad rows (cols 12:16, same
+                    # clamped-neighbor layout) so the miss-path fetch returns
+                    # radiance AND pdf from one gather (texture.py
+                    # sample_envmap_quad_pdf) — no separate env_pdf_of_dir pass
+                    p = dist["env_pdf_uv"].astype(np.float32)
+                    pxn = np.concatenate([p[:, 1:], p[:, -1:]], axis=1)
+                    pyn = np.concatenate([p[1:], p[-1:]], axis=0)
+                    pyxn = np.concatenate([pxn[1:], pxn[-1:]], axis=0)
+                    pq = np.stack([p, pxn, pyn, pyxn], axis=-1).reshape(-1, 4)
+                    equad = np.concatenate([equad, pq], axis=1)
+                scene["envmap_quad"] = jnp.asarray(equad)
+            if texture is not None:
+                tex = np.asarray(texture, np.float32)
+                scene["texture_quad"] = jnp.asarray(
+                    make_quad_texture(tex, wrap_u=True, wrap_v=True))
+                scene["tex_h"], scene["tex_w"] = tex.shape[0], tex.shape[1]
         self.scene = scene
 
         n_pixels = self.width * self.height
