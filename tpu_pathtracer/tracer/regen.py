@@ -327,18 +327,29 @@ def make_regen_integrator(settings: RenderSettings, width, height,
                 fmat = jnp.concatenate(
                     [out["orig"], out["dir"], out["mask"], out["accu"],
                      out["bsdf_pdf"][:, None]], axis=1)
+                # small ints ride one packed column (gather cost is
+                # ~0.5 ms per extra row column at 1M lanes):
+                # medium_id+1 (8b) | active (1b @8) | lbn (8b @16) |
+                # bounce (7b @24); bounce/lbn <= bounce_max = 16
+                pack = ((out["medium_id"] + 1)
+                        | (su << 8)
+                        | (out["lbn"] << 16)
+                        | (out["bounce"] << 24))
                 imat = jnp.stack(
-                    [out["rng"].astype(jnp.int32), out["lbn"], out["bounce"],
-                     out["pixel"], out["medium_id"], su], axis=1)
+                    [out["rng"].astype(jnp.int32), out["pixel"], pack],
+                    axis=1)
                 fmat = jnp.take(fmat, src, axis=0)
                 imat = jnp.take(imat, src, axis=0)
                 out["orig"], out["dir"], out["mask"], out["accu"] = (
                     fmat[:, 0:3], fmat[:, 3:6], fmat[:, 6:9], fmat[:, 9:12])
                 out["bsdf_pdf"] = fmat[:, 12]
                 out["rng"] = imat[:, 0].astype(jnp.uint32)
-                out["lbn"], out["bounce"] = imat[:, 1], imat[:, 2]
-                out["pixel"], out["medium_id"] = imat[:, 3], imat[:, 4]
-                out["active"] = imat[:, 5] != 0
+                out["pixel"] = imat[:, 1]
+                pk = imat[:, 2]
+                out["medium_id"] = (pk & 0xFF) - 1
+                out["active"] = ((pk >> 8) & 1) != 0
+                out["lbn"] = (pk >> 16) & 0xFF
+                out["bounce"] = pk >> 24
             return out
 
         st = jax.lax.while_loop(cond, body, st)
