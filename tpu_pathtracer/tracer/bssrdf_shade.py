@@ -220,12 +220,15 @@ def bssrdf_scatter(scene, settings, rng, hitpoint, normal2, mat, mat_id,
         sampled_radius = jnp.where(need_new, s_rad, sampled_radius)
 
         # ---- probe traversal (masked) ----
+        # tmax clamps to the sampled probe length: hits beyond it are
+        # discarded anyway, and short rays prune traversal early
+        # (subsurface frame 1225 -> measured lower at 1024^2; the
+        # reference's probe rays carry the same tMax semantics)
         from .wavefront import trace_rays
         slot, dist = trace_rays(scene, settings, probe_orig, probe_dir,
-                                RAY_MIN, RAY_MAX, anyhit=False, active=lanes)
-
-        out_of_len = probe_len < dist
-        got_hit = lanes & ~out_of_len & (slot >= 0)
+                                RAY_MIN, probe_len, anyhit=False,
+                                active=lanes)
+        got_hit = lanes & (slot >= 0)
 
         hp_any = probe_orig + probe_dir * dist[:, None]
         vec = hp_any - hitpoint
@@ -259,10 +262,12 @@ def bssrdf_scatter(scene, settings, rng, hitpoint, normal2, mat, mat_id,
         select_this = jnp.where(take, True, select_this)
 
         # ---- advance to next segment / next probe ----
+        # (a miss now includes the beyond-probe-length case, since the
+        # trace's tmax is the probe length)
         probe_len = jnp.where(got_hit, probe_len - dist, probe_len)
         probe_orig = jnp.where(got_hit[:, None],
                                hp_any + RAY_MIN * probe_dir, probe_orig)
-        need_new = out_of_len | ~got_hit
+        need_new = ~got_hit
 
     probe_hit_count = jnp.where(select_this, hit_per_probe, probe_hit_count)
     ok = lanes & (hit_count > 0)
