@@ -8,6 +8,7 @@ half-block display and termios raw input, keeping the same bindings:
   w/a/s/d  move camera (goForward/strafe)     r/f  altitude up/down
   arrows   yaw / pitch                        [ ]  orbit radius
   g/h      aperture -/+                       t/y  focal distance +/-
+  n/m      rotate envmap (reference: shift-drag)
   space    reset accumulation (buffer_reset)  ,/.  save / load camera (.cam)
   q / ESC  save output500.ppm and exit
 
@@ -89,10 +90,19 @@ def main():
     from tpu_pathtracer.core.image import write_ppm
 
     W = H = args.size
-    fb, mats, envmap, texture = testobj_scene(cache_dir=args.cache_dir,
-                                              variant=args.demo)
+    settings = None
+    if args.scene:
+        from tpu_pathtracer.scene.config import load_scene_desc
+        from tpu_pathtracer.tracer.renderer import scene_parts_from_desc
+        desc = load_scene_desc(args.scene)
+        fb, mats, envmap, texture, settings = scene_parts_from_desc(
+            desc, base_dir=os.path.dirname(args.scene),
+            cache_dir=args.cache_dir)
+    else:
+        fb, mats, envmap, texture = testobj_scene(cache_dir=args.cache_dir,
+                                                  variant=args.demo)
     renderer = Renderer(fb, mats, envmap=envmap, texture=texture,
-                        width=W, height=H)
+                        width=W, height=H, settings=settings)
     icam = default_camera(W, H)
     if os.path.exists(args.cam):
         icam = InteractiveCamera.load_cam(args.cam)
@@ -110,7 +120,7 @@ def main():
     if W % 2 == 0 and H % 2 == 0 and W >= 64 and H >= 64:
         Wl, Hl = W // 2, H // 2
         renderer_lo = Renderer(fb, mats, envmap=envmap, texture=texture,
-                               width=Wl, height=Hl,
+                               width=Wl, height=Hl, settings=settings,
                                base_scene=renderer.scene)
 
     accum = renderer.zeros_accum()
@@ -155,6 +165,12 @@ def main():
             icam.change_radius(-scale)
         elif k == "]":
             icam.change_radius(scale)
+        elif k == "n":
+            # envmap rotation (the reference binds this to shift-drag,
+            # src/MouseKeyboardInput.h:88-92; a terminal has no mouse)
+            icam.env_map_rotation = (icam.env_map_rotation + 0.01) % 1.0
+        elif k == "m":
+            icam.env_map_rotation = (icam.env_map_rotation - 0.01) % 1.0
         elif k == ",":
             icam.save_cam(args.cam)
             return False

@@ -344,9 +344,10 @@ class Renderer:
         return img
 
 
-def renderer_from_scene_desc(desc: SceneDesc, base_dir="", cache_dir=None):
-    """Assemble a Renderer from a SceneDesc the way main() does
-    (src/main.cpp:672-760): load mesh, build/cache BVH, load HDR + texture."""
+def scene_parts_from_desc(desc: SceneDesc, base_dir="", cache_dir=None):
+    """Load (fb, materials, envmap, texture, settings) per the SceneDesc —
+    the pieces renderer_from_scene_desc assembles, for callers that pick
+    their own resolution (e.g. the interactive viewer)."""
     import os
     from ..scene.objloader import load_obj
     from ..scene.plyloader import load_ply
@@ -380,5 +381,13 @@ def renderer_from_scene_desc(desc: SceneDesc, base_dir="", cache_dir=None):
         distant_light_L=tuple(desc.distant_light_L),
         distant_light_dir=tuple(desc.distant_light_dir),
     )
-    return Renderer(fb, desc.materials, envmap=envmap, texture=texture,
+    return fb, desc.materials, envmap, texture, settings
+
+
+def renderer_from_scene_desc(desc: SceneDesc, base_dir="", cache_dir=None):
+    """Assemble a Renderer from a SceneDesc the way main() does
+    (src/main.cpp:672-760): load mesh, build/cache BVH, load HDR + texture."""
+    fb, mats, envmap, texture, settings = scene_parts_from_desc(
+        desc, base_dir=base_dir, cache_dir=cache_dir)
+    return Renderer(fb, mats, envmap=envmap, texture=texture,
                     width=desc.width, height=desc.height, settings=settings)
