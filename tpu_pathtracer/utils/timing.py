@@ -18,8 +18,11 @@ class Timer:
 
 
 class RateMeter:
-    """Tracks frames + rays and prints 'time, frame, ms/frame, FPS, Mrays/s'
-    once per interval, like disp()'s stats line."""
+    """Tracks frames + per-pixel samples and prints
+    'time, frame, ms/frame, FPS, Mpaths/s' once per interval, like disp()'s
+    stats line (the reference prints ms/frame + FPS only,
+    src/main.cpp:204-209; paths/s is the honest extra — bounce and shadow
+    rays are NOT counted here, bench.py counts those)."""
 
     def __init__(self, interval=1.0):
         self.interval = interval
@@ -34,7 +37,7 @@ class RateMeter:
         el = self.timer.elapsed()
         if el - self.last_report >= self.interval:
             fps = self.frames / el
-            out("time %.1fs, frames %d, %.2f ms/frame, %.1f FPS, %.1f Mrays/s"
+            out("time %.1fs, frames %d, %.2f ms/frame, %.1f FPS, %.2f Mpaths/s"
                 % (el, self.frames, 1000.0 * el / self.frames, fps,
                    self.rays / el / 1e6))
             self.last_report = el
