@@ -124,18 +124,20 @@ def test_packet_kernel_orders_match_brute_force(scene):
     bs, bt = brute_force_intersect(mesh.tri_vertices(), orig, d,
                                    RAY_MIN, RAY_MAX)
     outs = {}
-    for order in ("entry", "entry-sampled", "axis"):
+    for order, tmem in (("entry", "vmem"), ("entry", "smem"),
+                        ("entry-sampled", "vmem"), ("axis", "vmem")):
         s, t = packet_intersect(packed, jnp.asarray(orig), jnp.asarray(d),
                                 RAY_MIN, RAY_MAX,
                                 stack_depth=fb.max_depth + 2,
-                                order=order, interpret=True)
+                                order=order, table_mem=tmem, interpret=True)
         ours = np.where(np.asarray(s) >= 0,
                         fb.tri_orig[np.maximum(np.asarray(s), 0)], -1)
         assert (ours == bs).mean() > 0.999, order
         hit = bs >= 0
         np.testing.assert_allclose(np.asarray(t)[hit], bt[hit], rtol=1e-4,
                                    err_msg=order)
-        outs[order] = np.asarray(s)
-    # orderings agree with each other exactly
-    np.testing.assert_array_equal(outs["entry"], outs["axis"])
-    np.testing.assert_array_equal(outs["entry"], outs["entry-sampled"])
+        outs[(order, tmem)] = np.asarray(s)
+    # orderings and table memspaces agree with each other exactly
+    base = outs[("entry", "vmem")]
+    for k, v in outs.items():
+        np.testing.assert_array_equal(base, v, err_msg=str(k))

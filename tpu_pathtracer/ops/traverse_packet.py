@@ -14,7 +14,7 @@ test. This is classical SIMD packet tracing (Wald et al.) re-cast for the
 TPU's 8x128 VPU — the TPU-native replacement for the reference's per-thread
 Kepler traversal + warp ballots (src/renderkernel.cu:136-419,310-321).
 
-Two TPU-specific twists, both driven by measurement:
+Three TPU-specific twists, all driven by measurement:
 
 * The step cost is dominated by the scalar pipeline (row fetch, scalar
   extractions, reductions, branches) — ~1.2 us/step vs ~0.06 us of vector
@@ -25,6 +25,13 @@ Two TPU-specific twists, both driven by measurement:
 * Several INDEPENDENT packets are interleaved in one kernel instance
   (`interleave`): their scalar chains have no data dependencies, so the
   compiler can overlap the latencies that would otherwise serialize.
+
+* The table lives in SMEM when it fits (scalar-prefetch operands,
+  table_mem="auto"): the 14 per-step values become plain scalar loads
+  instead of (1,1)-slice extractions+reductions from a VMEM row —
+  measured 2.2x whole-kernel throughput on v5e (348 -> 816 Mrays/s
+  coherent, 20.7 -> 45.9 incoherent at 1M rays). SMEM is 1 MiB on v5e;
+  bigger scenes fall back to the VMEM path automatically.
 """
 from __future__ import annotations
 
@@ -40,7 +47,7 @@ SENTINEL = np.int32(0x76543210)
 F32_BIG = np.float32(1e30)
 
 
-def _make_step(tab_ref, rays, anyhit, order="entry"):
+def _make_step(tab_ref, rays, anyhit, order="entry", smem_tabs=None):
     """Returns step(state, stack_base, stack_ref) -> state for ONE packet.
     rays: dict of per-lane (SUB,128) arrays + precomputed idir/ood.
 
@@ -65,19 +72,35 @@ def _make_step(tab_ref, rays, anyhit, order="entry"):
         is_node = alive & (cur >= 0)
         is_tri = alive & (cur < 0)
         row = jnp.where(is_tri, ~cur, jnp.where(is_node, cur, 0))
-        prow = tab_ref[pl.ds(row, 1), :]
 
-        def sci(c):
-            v = jax.lax.bitcast_convert_type(prow[0:1, c:c + 1], jnp.int32)
-            return jnp.sum(v)
+        if smem_tabs is not None:
+            # SMEM-resident table: the 14 per-step values are plain scalar
+            # loads — measured 2.2x the whole-kernel throughput of the VMEM
+            # extraction path on v5e (both coherent and incoherent rays)
+            tab_smem, meta_smem = smem_tabs
+            rb = row * 12
 
-        # 12 shared scalar extractions: the node row's box floats + 2
-        # children occupy the same columns as a tri row's 12 Woop floats +
-        # (attr, last). (A matmul-replication trick that avoided these
-        # extractions compiled but silently produced zero hits on real v5e
-        # hardware — do not reintroduce it without an on-device check.)
-        def sc(c):
-            return jnp.sum(prow[0:1, c:c + 1])
+            def sc(c):
+                return tab_smem[rb + c]
+
+            def sci(c):
+                return meta_smem[row * 2 + (c - 12)]
+        else:
+            prow = tab_ref[pl.ds(row, 1), :]
+
+            def sci(c):
+                v = jax.lax.bitcast_convert_type(prow[0:1, c:c + 1],
+                                                 jnp.int32)
+                return jnp.sum(v)
+
+            # 12 shared scalar extractions: the node row's box floats + 2
+            # children occupy the same columns as a tri row's 12 Woop
+            # floats + (attr, last). (A matmul-replication trick that
+            # avoided these extractions compiled but silently produced
+            # zero hits on real v5e hardware — do not reintroduce it
+            # without an on-device check.)
+            def sc(c):
+                return jnp.sum(prow[0:1, c:c + 1])
 
         f0, f1, f2, f3 = sc(0), sc(1), sc(2), sc(3)
         f4, f5, f6, f7 = sc(4), sc(5), sc(6), sc(7)
@@ -199,9 +222,17 @@ def _make_step(tab_ref, rays, anyhit, order="entry"):
     return step
 
 
-def _kernel(tab_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-            tmin_ref, tmax_ref, act_ref, slot_ref, t_ref, stack_ref,
-            *, anyhit, stack_depth, interleave, sub, order):
+def _kernel(*refs, anyhit, stack_depth, interleave, sub, order, smem_table):
+    if smem_table:
+        (tab_smem, meta_smem, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
+         dz_ref, tmin_ref, tmax_ref, act_ref, slot_ref, t_ref,
+         stack_ref) = refs
+        tab_ref = None
+        smem_tabs = (tab_smem, meta_smem)
+    else:
+        (tab_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+         tmin_ref, tmax_ref, act_ref, slot_ref, t_ref, stack_ref) = refs
+        smem_tabs = None
     G = interleave
     ooeps = jnp.float32(2.0 ** -80)
 
@@ -244,7 +275,8 @@ def _kernel(tab_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
         states.append((cur0, jnp.int32(0),
                        jnp.full((sub, 128), -1, jnp.int32), hit_t0,
                        jnp.zeros((sub, 128), jnp.int32)))
-        steps.append(_make_step(tab_ref, rays, anyhit, order=order))
+        steps.append(_make_step(tab_ref, rays, anyhit, order=order,
+                                smem_tabs=smem_tabs))
 
     def cond(c):
         alive = c[0][0] != SENTINEL
@@ -267,13 +299,27 @@ def _kernel(tab_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
         t_ref[sl, :] = jnp.where(act, hit_t, tmax_ref[sl, :])
 
 
+# SMEM is 1 MiB on v5e (measured empirically: a 512 KiB scalar scratch
+# compiles, 1 MiB fails; a too-big prefetched operand reports
+# "would exceed memory (size=1048576)"). Budget well under that for the
+# flattened table + meta + stacks + grid scalars.
+_SMEM_TABLE_BUDGET_BYTES = 700_000
+
+
 def packet_intersect(packed, orig, raydir, tmin, tmax, anyhit=False,
                      stack_depth=64, active=None, tile_sub=8, interleave=4,
-                     order="entry", interpret=False):
+                     order="entry", table_mem="auto", interpret=False):
     """Packet-traverse rays against the packed (K,16) primitive stream.
 
     orig/raydir: [N,3]; N is padded to tile_sub*interleave*128 internally.
     Returns (hit_slot [N] i32, hit_t [N] f32).
+
+    table_mem: "smem" holds the table in scalar memory (scalar-prefetch
+    operands; per-step values become plain scalar loads — measured 2.2x
+    whole-kernel throughput vs the VMEM path on v5e), "vmem" uses the
+    broadcast-row + extraction path, "auto" picks smem whenever the
+    flattened table fits the SMEM budget (order="axis" reads a third meta
+    column and stays on vmem).
     """
     N = orig.shape[0]
     LANES = 128
@@ -281,6 +327,13 @@ def packet_intersect(packed, orig, raydir, tmin, tmax, anyhit=False,
         # packed per-child 16-bit lane counts overflow at sub >= 512
         raise ValueError("order=%r requires tile_sub < 512 (packed 16-bit "
                          "hit-vote counts)" % order)
+    K = packed.shape[0]
+    table_bytes = K * 14 * 4
+    if table_mem == "auto":
+        table_mem = ("smem" if order != "axis" and not interpret
+                     and table_bytes <= _SMEM_TABLE_BUDGET_BYTES else "vmem")
+    if table_mem == "smem" and order == "axis":
+        raise ValueError("table_mem='smem' does not support order='axis'")
     T = tile_sub * LANES * interleave
     n_tiles = -(-N // T)
     Np = n_tiles * T
@@ -304,22 +357,48 @@ def packet_intersect(packed, orig, raydir, tmin, tmax, anyhit=False,
     )
 
     blk = tile_sub * interleave
-    ray_spec = pl.BlockSpec((blk, LANES), lambda i: (i, 0),
-                            memory_space=pltpu.VMEM)
-    tab_spec = pl.BlockSpec(packed.shape, lambda i: (0, 0),
-                            memory_space=pltpu.VMEM)
-
-    slot, t = pl.pallas_call(
-        functools.partial(_kernel, anyhit=anyhit, stack_depth=stack_depth,
-                          interleave=interleave, sub=tile_sub, order=order),
-        grid=(n_tiles,),
-        in_specs=[tab_spec] + [ray_spec] * 9,
-        out_specs=[ray_spec, ray_spec],
-        out_shape=[
-            jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
-        ],
-        scratch_shapes=[pltpu.SMEM((stack_depth * interleave,), jnp.int32)],
-        interpret=interpret,
-    )(packed, *args)
+    out_shape = [
+        jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
+        jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
+    ]
+    kern = functools.partial(_kernel, anyhit=anyhit,
+                             stack_depth=stack_depth,
+                             interleave=interleave, sub=tile_sub,
+                             order=order, smem_table=(table_mem == "smem"))
+    if table_mem == "smem":
+        # flattened f32 box/woop columns + i32 meta as scalar-prefetch
+        # operands (2-D SMEM operands get lane-padded to 128 columns —
+        # keep them 1-D)
+        tab_flat = packed[:, :12].reshape(-1)
+        meta_flat = jax.lax.bitcast_convert_type(
+            packed[:, 12:14], jnp.int32).reshape(-1)
+        ray_spec = pl.BlockSpec((blk, LANES), lambda i, s1, s2: (i, 0),
+                                memory_space=pltpu.VMEM)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n_tiles,),
+            in_specs=[ray_spec] * 9,
+            out_specs=[ray_spec, ray_spec],
+            scratch_shapes=[pltpu.SMEM((stack_depth * interleave,),
+                                       jnp.int32)],
+        )
+        slot, t = pl.pallas_call(
+            kern, grid_spec=grid_spec, out_shape=out_shape,
+            interpret=interpret,
+        )(tab_flat, meta_flat, *args)
+    else:
+        ray_spec = pl.BlockSpec((blk, LANES), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+        tab_spec = pl.BlockSpec(packed.shape, lambda i: (0, 0),
+                                memory_space=pltpu.VMEM)
+        slot, t = pl.pallas_call(
+            kern,
+            grid=(n_tiles,),
+            in_specs=[tab_spec] + [ray_spec] * 9,
+            out_specs=[ray_spec, ray_spec],
+            out_shape=out_shape,
+            scratch_shapes=[pltpu.SMEM((stack_depth * interleave,),
+                                       jnp.int32)],
+            interpret=interpret,
+        )(packed, *args)
     return slot.reshape(-1)[:N], t.reshape(-1)[:N]

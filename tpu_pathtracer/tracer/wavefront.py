@@ -88,15 +88,14 @@ class RenderSettings:
     # sublane rows per packet (rays = x128). The step cost is scalar-bound,
     # so fatter packets cut total steps; with the compact pool the larger
     # union footprint stays cheap. Measured end-to-end on v5e (1024^2 demo,
-    # compact pool, ms per 1-spp frame): sub=8 910, sub=16 694, sub=32 604;
-    # after the round-2 gather/scatter cuts: (32,4) 474, (64,4) 469,
-    # (64,2) 461, (32,8) 501.
-    packet_tile_sub: int = 64
+    # compact pool, ms per 1-spp frame): VMEM-table era (32,4) 474,
+    # (64,2) 461; SMEM-table era (scalar loads make the step cheaper, so
+    # the packet-size optimum shifts down): (16,4) 337, (32,4) 312,
+    # (64,2) 363, (8,8) 335.
+    packet_tile_sub: int = 32
     # independent packets interleaved per kernel instance (scalar-latency
-    # hiding; see ops/traverse_packet.py). 2 instances of 64x128-ray
-    # packets measured best end-to-end (fewer wasted spins waiting on
-    # straggler packets than il=4).
-    packet_interleave: int = 2
+    # hiding; see ops/traverse_packet.py)
+    packet_interleave: int = 4
     # near-child ordering inside the packet step: "entry" = per-step
     # entry-distance min-reductions, "axis" = stored child-order code +
     # packet majority sign (one packed int vote, no float reductions).
