@@ -111,8 +111,8 @@ def main():
     # half-res preview renderer: while the camera is moving we trade
     # resolution for latency (the reference keeps full res and simply
     # drops to low accumulation; at TPU dispatch latencies half-res is
-    # the better interactivity tradeoff — measured 45 ms/frame at 256^2
-    # vs 139 ms at 512^2 on v5e). Shares the full renderer's device
+    # the better interactivity tradeoff — measured 28 ms/frame at 256^2
+    # vs 99 ms at 512^2 on v5e). Shares the full renderer's device
     # scene arrays (base_scene) — only the lane tables differ. Enabled
     # only when the upscale is exact (even W/H), else moving frames
     # simply render at full res.
