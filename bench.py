@@ -91,6 +91,16 @@ def main():
         assert agree > 0.999, (
             "packet kernel (%d,%d) wrong on device: %.4f agreement"
             % (g_sub, g_il, agree))
+    # anyhit is a distinct early-out path in the kernel: a hit must exist
+    # along [tmin, tmax] iff the closest-hit oracle found one
+    d_sub = _defaults.packet_tile_sub
+    d_il = _defaults.packet_interleave
+    ahs, _ = packet_intersect(packed, jnp.asarray(co), jnp.asarray(cd),
+                              RAY_MIN, RAY_MAX, stack_depth=sd, anyhit=True,
+                              tile_sub=d_sub, interleave=d_il)
+    ah_agree = float(((np.asarray(ahs) >= 0) == (bt >= 0)).mean())
+    assert ah_agree > 0.999, (
+        "anyhit kernel wrong on device: %.4f agreement" % ah_agree)
 
     # ---------------- axis 1: traversal Mrays/s at 1024^2 ----------------
     W = H = 1024
