@@ -127,3 +127,29 @@ def test_progressive_accumulation_reduces_variance():
     # deterministic given frame numbers
     b1 = _render(r, rc, 2)
     np.testing.assert_array_equal(a1, b1)
+
+
+def test_base_scene_sharing_renders_identically():
+    """Renderer(base_scene=...) must reuse the resolution-independent
+    device arrays (same objects, no re-upload) and produce the same image
+    as a freshly built renderer at the same resolution (the interactive
+    viewer's preview path)."""
+    mesh = procedural.make_test_scene()
+    fb = flatten_mesh_bvh(mesh)
+    mats = [MatDesc(refltype=MAT_DIFF, useTexture=False),
+            MatDesc(refltype=MAT_DIFF),
+            MatDesc(refltype=MAT_GLASS),
+            MatDesc(refltype=MAT_REFL)]
+    env = procedural.make_sky_envmap(128, 64)
+    st = RenderSettings(use_envmap=True, use_texture=False)
+    base = Renderer(fb, mats, envmap=env, width=64, height=64, settings=st)
+    fresh = Renderer(fb, mats, envmap=env, width=32, height=32, settings=st)
+    shared = Renderer(fb, mats, envmap=env, width=32, height=32, settings=st,
+                      base_scene=base.scene)
+    # heavy arrays are the SAME device buffers, lane tables are rebuilt
+    for k in ("packed", "tri_attr", "mat_table", "envmap_quad"):
+        assert shared.scene[k] is base.scene[k], k
+    assert shared.scene["lane_px"] is not base.scene["lane_px"]
+    rc = _camera(32, 32)
+    np.testing.assert_array_equal(np.asarray(_render(fresh, rc, 2)),
+                                  np.asarray(_render(shared, rc, 2)))
