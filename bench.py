@@ -79,18 +79,25 @@ def main():
     # about the sub=64 instance the regen integrator runs)
     from tpu_pathtracer.tracer.wavefront import RenderSettings
     _defaults = RenderSettings()
-    gate_cfgs = {(8, 4), (16, 4),
-                 (_defaults.packet_tile_sub, _defaults.packet_interleave)}
-    for g_sub, g_il in sorted(gate_cfgs):
+    gate_cfgs = {(8, 4, "auto"), (16, 4, "auto"),
+                 (_defaults.packet_tile_sub, _defaults.packet_interleave,
+                  "auto"),
+                 # the VMEM fallback kernel (scenes with tables > the SMEM
+                 # budget run this) is a distinct Mosaic specialization —
+                 # gate it too
+                 (_defaults.packet_tile_sub, _defaults.packet_interleave,
+                  "vmem")}
+    for g_sub, g_il, g_mem in sorted(gate_cfgs):
         cs, ct = packet_intersect(packed, jnp.asarray(co), jnp.asarray(cd),
                                   RAY_MIN, RAY_MAX, stack_depth=sd,
-                                  tile_sub=g_sub, interleave=g_il)
+                                  tile_sub=g_sub, interleave=g_il,
+                                  table_mem=g_mem)
         cs = np.asarray(cs)
         ours = np.where(cs >= 0, fb.tri_orig[np.maximum(cs, 0)], -1)
         agree = float((ours == bt).mean())
         assert agree > 0.999, (
-            "packet kernel (%d,%d) wrong on device: %.4f agreement"
-            % (g_sub, g_il, agree))
+            "packet kernel (%d,%d,%s) wrong on device: %.4f agreement"
+            % (g_sub, g_il, g_mem, agree))
     # anyhit is a distinct early-out path in the kernel: a hit must exist
     # along [tmin, tmax] iff the closest-hit oracle found one
     d_sub = _defaults.packet_tile_sub

@@ -55,13 +55,20 @@ def test_sharded_regen_matches_single_device():
     each shard runs its own constant-width pool over its own lane range.
     Counter-based per-(frame, global pixel) RNG makes every sample value
     identical to the single-device pool; only per-pixel accumulation order
-    differs (float add order), hence the small tolerance."""
+    differs (float add order), hence the small tolerance.
+
+    96x96 = 9216 lanes / 8 devices = 1152 lanes per shard: each shard's
+    pool spans one FULL 1024-lane packet block plus a 128-lane partial
+    block, so per-shard respawn/compaction over a partial trailing packet
+    is exercised (a 32x32 image gave each shard only 128 lanes). NOTE:
+    shard_map + the Pallas packet kernel cannot compose on this rig (CPU
+    virtual devices force the pure-JAX traversal; see PARITY.md)."""
     mesh = procedural.make_test_scene()
     fb = flatten_mesh_bvh(mesh)
     mats = [MatDesc(refltype=MAT_DIFF), MatDesc(refltype=MAT_DIFF),
             MatDesc(refltype=MAT_GLASS), MatDesc(refltype=MAT_REFL)]
     env = procedural.make_sky_envmap(64, 32)
-    W = H = 32
+    W = H = 96
     st = RenderSettings(use_envmap=True, use_texture=False,
                         integrator="regen")
     rc = default_camera(W, H).build_render_camera()

@@ -109,10 +109,9 @@ def test_geometric_normal_faces_triangle(scene):
     assert np.all(align[hit] > 0.999)
 
 
-def test_packet_kernel_orders_match_brute_force(scene):
-    """Pallas packet kernel (interpret mode) vs brute force, for both
-    near-child orderings. "axis" ordering must change ONLY step counts,
-    never results. (Interpret mode does not catch Mosaic miscompiles —
+def test_packet_kernel_table_memspaces_match_brute_force(scene):
+    """Pallas packet kernel (interpret mode) vs brute force, for both table
+    memory spaces. (Interpret mode does not catch Mosaic miscompiles —
     bench.py re-gates the kernel on the real device.)"""
     from tpu_pathtracer.tracer.traverse import pack_stream
     from tpu_pathtracer.ops.traverse_packet import packet_intersect
@@ -124,20 +123,33 @@ def test_packet_kernel_orders_match_brute_force(scene):
     bs, bt = brute_force_intersect(mesh.tri_vertices(), orig, d,
                                    RAY_MIN, RAY_MAX)
     outs = {}
-    for order, tmem in (("entry", "vmem"), ("entry", "smem"),
-                        ("entry-sampled", "vmem"), ("axis", "vmem")):
+    for tmem in ("vmem", "smem"):
         s, t = packet_intersect(packed, jnp.asarray(orig), jnp.asarray(d),
                                 RAY_MIN, RAY_MAX,
                                 stack_depth=fb.max_depth + 2,
-                                order=order, table_mem=tmem, interpret=True)
+                                table_mem=tmem, interpret=True)
         ours = np.where(np.asarray(s) >= 0,
                         fb.tri_orig[np.maximum(np.asarray(s), 0)], -1)
-        assert (ours == bs).mean() > 0.999, order
+        assert (ours == bs).mean() > 0.999, tmem
         hit = bs >= 0
         np.testing.assert_allclose(np.asarray(t)[hit], bt[hit], rtol=1e-4,
-                                   err_msg=order)
-        outs[(order, tmem)] = np.asarray(s)
-    # orderings and table memspaces agree with each other exactly
-    base = outs[("entry", "vmem")]
-    for k, v in outs.items():
-        np.testing.assert_array_equal(base, v, err_msg=str(k))
+                                   err_msg=tmem)
+        outs[tmem] = np.asarray(s)
+    # table memspaces agree with each other exactly
+    np.testing.assert_array_equal(outs["vmem"], outs["smem"])
+
+
+def test_packet_kernel_smem_budget_guard(scene):
+    """Explicit table_mem='smem' with an over-budget table must fail fast
+    with a clear ValueError, not an opaque remote Mosaic compile error."""
+    from tpu_pathtracer.ops.traverse_packet import (
+        packet_intersect, _SMEM_TABLE_BUDGET_BYTES)
+    from tpu_pathtracer.core.vecmath import RAY_MIN, RAY_MAX
+    import pytest
+
+    rows = _SMEM_TABLE_BUDGET_BYTES // (14 * 4) + 1
+    big = jnp.zeros((rows, 16), jnp.float32)
+    orig, d = _random_rays(128, 3)
+    with pytest.raises(ValueError, match="SMEM budget"):
+        packet_intersect(big, jnp.asarray(orig), jnp.asarray(d),
+                         RAY_MIN, RAY_MAX, table_mem="smem", interpret=True)

@@ -47,18 +47,16 @@ SENTINEL = np.int32(0x76543210)
 F32_BIG = np.float32(1e30)
 
 
-def _make_step(tab_ref, rays, anyhit, order="entry", smem_tabs=None):
+def _make_step(tab_ref, rays, anyhit, smem_tabs=None):
     """Returns step(state, stack_base, stack_ref) -> state for ONE packet.
     rays: dict of per-lane (SUB,128) arrays + precomputed idir/ood.
 
-    order="entry": near child by per-step entry-distance min-reductions
-    (two full-packet cross-lane reductions per node step).
-    order="entry-sampled": exact votes via one packed int-sum; ordering
-    from a 4-row lane sample's entry distances.
-    order="axis": near child from the row's stored child-order code
-    (pack_stream col 14) + the packet's majority direction sign — ONE
-    packed int-sum vote per node step, no float reductions. Hit results
-    are identical in all modes (ordering only affects step counts)."""
+    Near-child ordering is by per-step entry-distance min-reductions (two
+    full-packet cross-lane reductions per node step). Two cheaper-step
+    orderings ("axis" child-order codes, "entry-sampled" packed votes) were
+    built, measured net-negative or par end-to-end, and deleted — numbers
+    in ARCHITECTURE.md: the step is scalar-extraction-throughput-bound, not
+    reduction-bound."""
     ox, oy, oz = rays["ox"], rays["oy"], rays["oz"]
     dx, dy, dz = rays["dx"], rays["dy"], rays["dz"]
     idx_, idy, idz = rays["idx"], rays["idy"], rays["idz"]
@@ -137,44 +135,12 @@ def _make_step(tab_ref, rays, anyhit, order="entry", smem_tabs=None):
                             jnp.minimum(jnp.maximum(c1loz, c1hiz), hit_t))
         v0 = vote & (c0min <= c0max)
         v1 = vote & (c1min <= c1max)
-        if order == "entry-sampled":
-            # exact hit votes from ONE packed sum-reduction; near-child
-            # ordering from entry distances of a 4-row lane SAMPLE (the
-            # ordering is a traversal heuristic — only the votes must be
-            # exact). Replaces two full-packet float min-reductions per
-            # step with one int sum + two (4,128) mins. Packed 16-bit
-            # counts require sub*128 < 65536 (asserted in
-            # packet_intersect).
-            s = jnp.sum(v0.astype(jnp.int32)
-                        + (v1.astype(jnp.int32) << 16))
-            any0 = (s & 0xFFFF) != 0
-            any1 = (s >> 16) != 0
-            both = any0 & any1
-            e0 = jnp.min(jnp.where(v0[0:4, :], c0min[0:4, :], F32_BIG))
-            e1 = jnp.min(jnp.where(v1[0:4, :], c1min[0:4, :], F32_BIG))
-            swap = both & (e1 < e0)
-        elif order == "axis":
-            # one packed int-sum vote: per-child lane counts in disjoint
-            # 16-bit fields (counts = sub*128 < 65536, asserted below)
-            s = jnp.sum(v0.astype(jnp.int32)
-                        + (v1.astype(jnp.int32) << 16))
-            any0 = (s & 0xFFFF) != 0
-            any1 = (s >> 16) != 0
-            both = any0 & any1
-            code = sci(14)
-            axis = code & 3
-            c1g = (code >> 2) & 1
-            fwd_a = jnp.where(axis == 0, rays["fwd"][0],
-                              jnp.where(axis == 1, rays["fwd"][1],
-                                        rays["fwd"][2]))
-            swap = both & ((fwd_a ^ c1g) == 1)
-        else:
-            e0 = jnp.min(jnp.where(v0, c0min, F32_BIG))
-            e1 = jnp.min(jnp.where(v1, c1min, F32_BIG))
-            any0 = e0 < F32_BIG
-            any1 = e1 < F32_BIG
-            both = any0 & any1
-            swap = both & (e1 < e0)
+        e0 = jnp.min(jnp.where(v0, c0min, F32_BIG))
+        e1 = jnp.min(jnp.where(v1, c1min, F32_BIG))
+        any0 = e0 < F32_BIG
+        any1 = e1 < F32_BIG
+        both = any0 & any1
+        swap = both & (e1 < e0)
         near = jnp.where(swap, m1, m0)
         far = jnp.where(swap, m0, m1)
         node_next = jnp.where(both, near, jnp.where(any0, m0, m1))
@@ -222,7 +188,7 @@ def _make_step(tab_ref, rays, anyhit, order="entry", smem_tabs=None):
     return step
 
 
-def _kernel(*refs, anyhit, stack_depth, interleave, sub, order, smem_table):
+def _kernel(*refs, anyhit, stack_depth, interleave, sub, smem_table):
     if smem_table:
         (tab_smem, meta_smem, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
          dz_ref, tmin_ref, tmax_ref, act_ref, slot_ref, t_ref,
@@ -260,22 +226,13 @@ def _kernel(*refs, anyhit, stack_depth, interleave, sub, order, smem_table):
         rays["oodx"] = rays["ox"] * rays["idx"]
         rays["oody"] = rays["oy"] * rays["idy"]
         rays["oodz"] = rays["oz"] * rays["idz"]
-        if order == "axis":
-            # packet majority direction sign per axis (one-time
-            # reductions); inactive lanes abstain (contribute 0)
-            rays["fwd"] = tuple(
-                jnp.where(jnp.sum(jnp.where(rays["act"],
-                                            jnp.where(d >= 0, 1, -1),
-                                            0)) >= 0,
-                          jnp.int32(1), jnp.int32(0))
-                for d in (rays["dx"], rays["dy"], rays["dz"]))
         tmax_g = tmax_ref[sl, :]
         hit_t0 = jnp.where(rays["act"], tmax_g, rays["tmin"])
         cur0 = jnp.where(jnp.any(rays["act"]), jnp.int32(0), SENTINEL)
         states.append((cur0, jnp.int32(0),
                        jnp.full((sub, 128), -1, jnp.int32), hit_t0,
                        jnp.zeros((sub, 128), jnp.int32)))
-        steps.append(_make_step(tab_ref, rays, anyhit, order=order,
+        steps.append(_make_step(tab_ref, rays, anyhit,
                                 smem_tabs=smem_tabs))
 
     def cond(c):
@@ -308,7 +265,7 @@ _SMEM_TABLE_BUDGET_BYTES = 700_000
 
 def packet_intersect(packed, orig, raydir, tmin, tmax, anyhit=False,
                      stack_depth=64, active=None, tile_sub=8, interleave=4,
-                     order="entry", table_mem="auto", interpret=False):
+                     table_mem="auto", interpret=False):
     """Packet-traverse rays against the packed (K,16) primitive stream.
 
     orig/raydir: [N,3]; N is padded to tile_sub*interleave*128 internally.
@@ -318,22 +275,22 @@ def packet_intersect(packed, orig, raydir, tmin, tmax, anyhit=False,
     operands; per-step values become plain scalar loads — measured 2.2x
     whole-kernel throughput vs the VMEM path on v5e), "vmem" uses the
     broadcast-row + extraction path, "auto" picks smem whenever the
-    flattened table fits the SMEM budget (order="axis" reads a third meta
-    column and stays on vmem).
+    flattened table fits the SMEM budget.
     """
     N = orig.shape[0]
     LANES = 128
-    if order != "entry" and tile_sub * LANES >= 1 << 16:
-        # packed per-child 16-bit lane counts overflow at sub >= 512
-        raise ValueError("order=%r requires tile_sub < 512 (packed 16-bit "
-                         "hit-vote counts)" % order)
     K = packed.shape[0]
     table_bytes = K * 14 * 4
     if table_mem == "auto":
-        table_mem = ("smem" if order != "axis" and not interpret
+        table_mem = ("smem" if not interpret
                      and table_bytes <= _SMEM_TABLE_BUDGET_BYTES else "vmem")
-    if table_mem == "smem" and order == "axis":
-        raise ValueError("table_mem='smem' does not support order='axis'")
+    elif table_mem == "smem" and table_bytes > _SMEM_TABLE_BUDGET_BYTES:
+        # fail fast with a clear message instead of an opaque remote Mosaic
+        # compile error 30-130 s later
+        raise ValueError(
+            "table_mem='smem': packed table is %d bytes, over the %d-byte "
+            "SMEM budget — use table_mem='auto' or 'vmem'"
+            % (table_bytes, _SMEM_TABLE_BUDGET_BYTES))
     T = tile_sub * LANES * interleave
     n_tiles = -(-N // T)
     Np = n_tiles * T
@@ -364,7 +321,7 @@ def packet_intersect(packed, orig, raydir, tmin, tmax, anyhit=False,
     kern = functools.partial(_kernel, anyhit=anyhit,
                              stack_depth=stack_depth,
                              interleave=interleave, sub=tile_sub,
-                             order=order, smem_table=(table_mem == "smem"))
+                             smem_table=(table_mem == "smem"))
     if table_mem == "smem":
         # flattened f32 box/woop columns + i32 meta as scalar-prefetch
         # operands (2-D SMEM operands get lane-padded to 128 columns —

@@ -45,33 +45,22 @@ def make_regen_integrator(settings: RenderSettings, width, height,
     (bench.py) — the analog of counting the reference's per-bounce kernel
     launches + shadow rays rather than only primary samples.
 
-    Respawn uses BLOCK-LOCAL queues (settings.regen_block lanes per block,
-    default 1024 = one packet = one 32x32 swizzled pixel tile): a dead lane
-    only ever respawns samples whose pixels belong to its own block, so a
-    traversal packet holds rays from a single spatially-coherent tile for
-    the WHOLE render instead of degrading into a pixel-mixed pool. Measured
-    motivation in ARCHITECTURE.md: the global queue's pixel mixing was the
-    dominant per-wave cost (incoherent packets visit ~5x more nodes). The
-    price is block-level load imbalance (a hard block keeps spawning while
-    easy blocks idle), amortized over n_frames samples per pixel.
-    regen_block=0 restores the single global queue."""
+    Respawn pulls from one GLOBAL sample queue (across frames). A
+    block-local-queue variant — each 1024-lane packet respawning only its
+    own 32x32 pixel tile's samples — was measured 1.6x SLOWER end-to-end
+    (block stragglers idle whole packets; ARCHITECTURE.md) and deleted;
+    the compact pool ordering recovers the packet coherence instead."""
 
-    if settings.regen_order == "compact" and settings.regen_block > 0:
-        raise ValueError("regen_order='compact' requires the global queue "
-                         "(regen_block=0): block-local queues pin samples "
-                         "to fixed lane ranges")
+    if settings.regen_order == "compact" and settings.bounce_max > 127:
+        # the compact permute packs bounce into bits 24..30 of one int32
+        # column (lbn into 16..23); a larger budget would corrupt state
+        raise ValueError("regen_order='compact' requires bounce_max <= 127 "
+                         "(bounce rides a 7-bit field of the packed "
+                         "permute column)")
 
     def integrate_frames(scene, cam_vec, frame0, lane0, accum, n_frames):
         N = accum.shape[0]
-        B = settings.regen_block if settings.regen_block > 0 else N
-        B = min(B, N)
-        n_blocks = -(-N // B)
-        Np = n_blocks * B
-        # per-block valid pixel counts (last block may be partial)
-        count = jnp.clip(N - jnp.arange(n_blocks) * B, 0, B)\
-            .astype(jnp.uint32)                     # (n_blocks,)
-        tot = count * jnp.uint32(n_frames)          # samples per block
-        block_base = (jnp.arange(n_blocks, dtype=jnp.int32) * B)
+        tot = jnp.uint32(N) * jnp.uint32(n_frames)  # total samples to spawn
 
         # accum rides the loop channel-major flat (3N,): three 1-d
         # scatter-adds cost ~21 ms/wave on v5e vs ~44 ms for one (N,3)
@@ -80,7 +69,7 @@ def make_regen_integrator(settings: RenderSettings, width, height,
             "accum": jnp.transpose(accum).reshape(-1),
             "waves": jnp.uint32(0),
             "rays": jnp.float32(0.0),
-            "next": jnp.zeros((n_blocks,), jnp.uint32),
+            "next": jnp.uint32(0),
             "active": jnp.zeros((N,), bool),
             "orig": jnp.zeros((N, 3), jnp.float32),
             "dir": jnp.zeros((N, 3), jnp.float32).at[:, 2].set(1.0),
@@ -95,35 +84,28 @@ def make_regen_integrator(settings: RenderSettings, width, height,
         }
 
         def cond(st):
-            return jnp.any(st["next"] < tot) | jnp.any(st["active"])
+            return (st["next"] < tot) | jnp.any(st["active"])
 
         def body(st):
             accum = st["accum"]
             active = st["active"]
 
-            # ------------- respawn dead lanes (block-local) -------------
+            # ------------- respawn dead lanes (global queue) -------------
             dead = ~active
-            dead_p = jnp.pad(dead, (0, Np - N)).reshape(n_blocks, B)
-            du = dead_p.astype(jnp.uint32)
+            du = dead.astype(jnp.uint32)
             if settings.regen_order == "compact":
                 # compaction leaves dead lanes as an exact tail suffix, so
                 # the respawn rank is closed-form — no cumsum pass
-                n_dead = jnp.sum(du, axis=1, dtype=jnp.uint32)[:, None]
-                iota_b = jnp.arange(B, dtype=jnp.uint32)[None, :]
-                rank = jnp.where(dead_p,
-                                 iota_b - (jnp.uint32(B) - n_dead), 0)
+                n_dead = jnp.sum(du, dtype=jnp.uint32)
+                iota = jnp.arange(N, dtype=jnp.uint32)
+                rank = jnp.where(dead, iota - (jnp.uint32(N) - n_dead), 0)
             else:
-                rank = jnp.cumsum(du, axis=1) - du  # exclusive, per block
-            sid = st["next"][:, None] + rank        # (n_blocks, B)
-            can = dead_p & (sid < tot[:, None])
-            pix_in_block = (sid % count[:, None]).astype(jnp.int32)
-            frame_p = frame0 + (sid // count[:, None]).astype(jnp.uint32)
-            pixel_p = block_base[:, None] + pix_in_block
-            nxt = st["next"] + jnp.sum(can, axis=1, dtype=jnp.uint32)
-
-            spawn = can.reshape(-1)[:N]
-            pixel_new = pixel_p.reshape(-1)[:N]
-            frame_new = frame_p.reshape(-1)[:N]
+                rank = jnp.cumsum(du) - du          # exclusive
+            sid = st["next"] + rank                 # (N,)
+            spawn = dead & (sid < tot)
+            pixel_new = (sid % jnp.uint32(N)).astype(jnp.int32)
+            frame_new = frame0 + (sid // jnp.uint32(N)).astype(jnp.uint32)
+            nxt = st["next"] + jnp.sum(spawn, dtype=jnp.uint32)
             pixel_glob = pixel_new + lane0.astype(jnp.int32)
             rng_new = RaySampler.init(wang_hash(frame_new),
                                       pixel_glob.astype(jnp.uint32))

@@ -42,28 +42,14 @@ def _ray_precompute(raydir):
 def pack_stream(prims, meta):
     """Pack the (K,12) f32 prim rows and (K,2) i32 meta into one (K,16) f32
     array (meta bitcast into columns 12:14) so traversal needs exactly ONE
-    gather per lane per step.
-
-    Column 14 carries a child-order code for node rows: axis (0..2) of the
-    largest child-centroid separation, bit 2 set when child1's centroid is
-    the greater one along that axis. The packet kernel's "axis" ordering
-    mode descends the near child by (code, packet majority direction sign)
-    instead of per-step entry-distance reductions. The code is computed for
-    every row (triangle rows read it as garbage and never use it)."""
+    gather per lane per step. Columns 14:16 are zero padding (a stored
+    child-order code once lived in col 14 for the deleted "axis" packet
+    ordering — see ARCHITECTURE.md "measured net-negative")."""
     import numpy as np
     K = prims.shape[0]
     packed = np.zeros((K, 16), np.float32)
-    p = np.asarray(prims, np.float32)
-    packed[:, :12] = p
+    packed[:, :12] = np.asarray(prims, np.float32)
     packed[:, 12:14] = np.asarray(meta, np.int32).view(np.float32)
-    with np.errstate(invalid="ignore"):
-        d = np.stack([(p[:, 4] + p[:, 5]) - (p[:, 0] + p[:, 1]),
-                      (p[:, 6] + p[:, 7]) - (p[:, 2] + p[:, 3]),
-                      (p[:, 10] + p[:, 11]) - (p[:, 8] + p[:, 9])], axis=1)
-    d = np.nan_to_num(d, nan=0.0, posinf=0.0, neginf=0.0)
-    axis = np.argmax(np.abs(d), axis=1).astype(np.int32)
-    c1_greater = (d[np.arange(K), axis] > 0).astype(np.int32)
-    packed[:, 14] = (axis | (c1_greater << 2)).view(np.float32)
     return packed
 
 

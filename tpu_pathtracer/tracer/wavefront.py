@@ -60,13 +60,6 @@ class RenderSettings:
     # integrator: "bounce" = classic full-width bounce loop, "regen" = path
     # regeneration (constant-width always-active pool; see tracer/regen.py)
     integrator: str = "regen"
-    # regen respawn queue granularity: lanes per block-local sample queue
-    # (see make_regen_integrator). 0 = single global queue. Measured on v5e
-    # (1024^2 demo scene): block=1024 (one packet = one 32x32 pixel tile)
-    # is SLOWER than the global queue (2251 vs 1444 ms per 1spp) — the
-    # block-straggler idle waves outweigh the packet-coherence gain — so
-    # the global queue stays the default.
-    regen_block: int = 0
     # pool ordering discipline: "inplace" respawns dead lanes where they
     # died (pool degrades into a pixel-mixed soup; traversal packets lose
     # spatial coherence), "compact" stable-compacts survivors to the front
@@ -74,11 +67,12 @@ class RenderSettings:
     # lanes of mostly one spawn generation (consecutive queue samples =
     # consecutive swizzled pixels = one 32x32 tile neighborhood). The
     # classic wavefront compaction step (Laine et al.) as a pool
-    # permutation. Requires the global queue (regen_block=0).
+    # permutation.
     # Measured on v5e (1024^2 demo scene, ms per 1-spp frame): inplace 1494,
     # compact 910 (tile_sub=8) / 777 (tile_sub=16) — compaction restores the
     # packet coherence the global queue destroys, at the cost of one packed
-    # pool permutation per wave.
+    # pool permutation per wave. (A block-local-queue variant measured
+    # worse still — numbers in ARCHITECTURE.md — and was deleted.)
     regen_order: str = "compact"
     distant_light_L: tuple = (1.2, 1.2, 1.2)      # src/renderkernel.cu:521
     distant_light_dir: tuple = (0.0, 1.3, -3.6)   # src/renderkernel.cu:522
@@ -96,18 +90,6 @@ class RenderSettings:
     # independent packets interleaved per kernel instance (scalar-latency
     # hiding; see ops/traverse_packet.py)
     packet_interleave: int = 4
-    # near-child ordering inside the packet step: "entry" = per-step
-    # entry-distance min-reductions, "axis" = stored child-order code +
-    # packet majority sign (one packed int vote, no float reductions).
-    # Hit results identical; only step counts/latency differ. Measured
-    # end-to-end: axis 581 ms vs entry 474 — the cheaper step does NOT pay
-    # for the extra steps from the weaker ordering; entry stays default.
-    packet_order: str = "entry"
-    # compact rays (dead lanes last) before each packet traversal. Measured
-    # NET-NEGATIVE on the demo scene (the argsort+permute costs more than
-    # retiring packets saves) — kept as an option for scenes with much
-    # longer path tails.
-    sort_rays: bool = False
 
 
 def trace_rays(scene, settings: RenderSettings, orig, raydir, tmin, tmax,
@@ -119,31 +101,11 @@ def trace_rays(scene, settings: RenderSettings, orig, raydir, tmin, tmax,
         mode = "packet" if jax.default_backend() == "tpu" else "wavefront"
     if mode == "packet" and "packed" in scene:
         from ..ops.traverse_packet import packet_intersect
-
-        def run(o, d, act):
-            return packet_intersect(
-                scene["packed"], o, d, tmin, tmax, anyhit=anyhit,
-                stack_depth=settings.stack_depth, active=act,
-                tile_sub=settings.packet_tile_sub,
-                interleave=settings.packet_interleave,
-                order=settings.packet_order)
-
-        N = orig.shape[0]
-        if settings.sort_rays and N >= 4096:
-            act = (jnp.ones((N,), bool) if active is None else active)
-            # pure compaction: stable-sort dead lanes to the end. Active
-            # lanes keep their pixel-block order (spatial coherence), and
-            # whole trailing packets retire instantly. (Sorting by octant
-            # instead measured WORSE: it scrambles spatial locality.)
-            key = jnp.where(act, jnp.uint32(0), jnp.uint32(1))
-            order = jnp.argsort(key, stable=True)
-            slot_s, t_s = run(jnp.take(orig, order, axis=0),
-                              jnp.take(raydir, order, axis=0),
-                              jnp.take(act, order))
-            slot = jnp.zeros((N,), jnp.int32).at[order].set(slot_s)
-            hit_t = jnp.zeros((N,), jnp.float32).at[order].set(t_s)
-            return slot, hit_t
-        return run(orig, raydir, active)
+        return packet_intersect(
+            scene["packed"], orig, raydir, tmin, tmax, anyhit=anyhit,
+            stack_depth=settings.stack_depth, active=active,
+            tile_sub=settings.packet_tile_sub,
+            interleave=settings.packet_interleave)
     return intersect_scene(
         scene["prims"], scene["meta"], scene["num_nodes"], orig, raydir,
         tmin, tmax, anyhit=anyhit, stack_depth=settings.stack_depth,
