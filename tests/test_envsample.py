@@ -93,6 +93,28 @@ def test_furnace_with_importance_sampling():
     assert np.all(np.isfinite(img))
 
 
+def test_furnace_with_topk_restricted_nee():
+    """Top-k restricted NEE must stay unbiased: a uniform env LARGER than
+    the top-k cap (here 32k texels, cap 16k — so NEE covers only half the
+    sphere, pdf 0 on the rest) still integrates to exactly 1 under MIS:
+    the BSDF-side weight degenerates to 1 where the NEE pdf is 0."""
+    env = np.ones((128, 256, 3), np.float32)
+    fb = flatten_mesh_bvh(
+        procedural.make_uv_sphere((0, 0, 0), 1.0, 0, n_lat=12, n_lon=16))
+    s = RenderSettings(bounce_min=16, bounce_max=16, use_envmap=True,
+                       use_texture=False, env_importance_sampling=True)
+    assert s.env_nee_topk == 16384
+    r = Renderer(fb, [MatDesc(refltype=MAT_DIFF, kd=1.0)], envmap=env,
+                 width=48, height=48, settings=s)
+    assert r.scene["env_alias"].shape[0] == 16384
+    rc = default_camera(48, 48, pitch=0.0, radius=4,
+                        center=(0, 0, 0)).build_render_camera()
+    accum = r.render_frames(r.zeros_accum(), rc, 1, 24)
+    img = np.asarray(accum) / 24
+    assert abs(img.mean() - 1.0) < 0.02
+    assert np.all(np.isfinite(img))
+
+
 def test_importance_sampling_reduces_variance():
     """Sun-lit diffuse plane: NEE+MIS must cut noise dramatically at equal
     spp (the point of BASELINE config 2)."""
@@ -162,10 +184,17 @@ def test_native_alias_matches_python_and_is_fast():
     # speed at real envmap size through the full distribution build
     env = rng.exponential(size=(1024, 2048, 3)).astype(np.float32)
     t0 = time.perf_counter()
-    d = envsample.build_env_distribution(env)
+    d = envsample.build_env_distribution(env, topk=0)   # unrestricted
     dt = time.perf_counter() - t0
-    assert d["env_alias"].shape == (1024 * 2048, 10)
+    assert d["env_alias"].shape == (1024 * 2048, 12)
     assert dt < 5.0, "2048x1024 alias build took %.1fs" % dt
+    # default top-k restriction caps the draw table at 16k rows and
+    # renormalizes the pdf over the selected texels (0 elsewhere)
+    dk = envsample.build_env_distribution(env)
+    assert dk["env_alias"].shape == (16384, 12)
+    pk = dk["env_pdf_uv"].astype(np.float64)
+    assert (pk > 0).sum() == 16384
+    np.testing.assert_allclose(pk.mean(), 1.0, rtol=1e-3)
 
 
 def test_alias_row_radiance_matches_bilinear_fetch():

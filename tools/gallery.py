@@ -45,6 +45,9 @@ def variants():
         "medium_tea": mats(MatDesc(refltype=MAT_GLASS, medium="tea")),
         "medium_jade": mats(MatDesc(refltype=MAT_GLASS, medium="jade")),
         "medium_milk": mats(MatDesc(refltype=MAT_GLASS, medium="milk")),
+        # the reference's mediumSmoke.PNG: the "cloud" sigma_s/sigma_a/g
+        # preset from src/scenes.txt:51
+        "medium_cloud": mats(MatDesc(refltype=MAT_GLASS, medium="cloud")),
         "bssrdf_soe": mats(MatDesc(refltype=MAT_SUBSURFACE,
                                    objcol=(0.83, 0.79, 0.75), alphax=0.3,
                                    etaT=1.4, mfp=(0.35, 0.3, 0.25), ks=0.2)),
@@ -60,6 +63,10 @@ def main():
     ap.add_argument("--spp", type=int, default=64)
     ap.add_argument("--only", help="comma-separated variant names")
     ap.add_argument("--cache-dir", default=".bvh_cache")
+    ap.add_argument("--ladder", action="store_true",
+                    help="render the BSSRDF convergence ladder "
+                         "(bssrdf_{50,200,800}spp.png, the reference's "
+                         "bssrdf50/200/800 gallery row)")
     args = ap.parse_args()
 
     from tpu_pathtracer.scene import procedural
@@ -75,6 +82,28 @@ def main():
     texture = procedural.make_checker_texture()
     W = H = args.size
     rc = default_camera(W, H).build_render_camera()
+
+    if args.ladder:
+        from tpu_pathtracer.scene.config import (
+            MatDesc, MAT_DIFF, MAT_GLASS, MAT_REFL, MAT_SUBSURFACE)
+        mats = [MatDesc(refltype=MAT_DIFF, useTexture=True),
+                MatDesc(refltype=MAT_SUBSURFACE, objcol=(0.83, 0.79, 0.75),
+                        alphax=0.3, etaT=1.4, mfp=(0.35, 0.3, 0.25), ks=0.2),
+                MatDesc(refltype=MAT_GLASS), MatDesc(refltype=MAT_REFL)]
+        r = Renderer(fb, mats, envmap=envmap, texture=texture,
+                     width=W, height=H)
+        accum = r.zeros_accum()
+        done = 0
+        for spp in (50, 200, 800):
+            t0 = time.time()
+            accum = r.render_frames(accum, rc, done + 1, spp - done)
+            done = spp
+            img = r.accum_to_image(accum, done)
+            path = os.path.join(args.out_dir, "bssrdf_%dspp.png" % spp)
+            Image.fromarray(img, "RGB").save(path)
+            print("bssrdf %3d spp %5.1fs -> %s"
+                  % (spp, time.time() - t0, path))
+        return
 
     sel = args.only.split(",") if args.only else None
     for name, mats in variants().items():

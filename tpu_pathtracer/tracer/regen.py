@@ -74,7 +74,6 @@ def make_regen_integrator(settings: RenderSettings, width, height,
             "orig": jnp.zeros((N, 3), jnp.float32),
             "dir": jnp.zeros((N, 3), jnp.float32).at[:, 2].set(1.0),
             "mask": jnp.zeros((N, 3), jnp.float32),
-            "accu": jnp.zeros((N, 3), jnp.float32),
             "rng": jnp.zeros((N,), jnp.uint32),
             "lbn": jnp.zeros((N,), jnp.int32),
             "bounce": jnp.zeros((N,), jnp.int32),
@@ -120,7 +119,6 @@ def make_regen_integrator(settings: RenderSettings, width, height,
             orig = jnp.where(sel, o_new, st["orig"])
             raydir = jnp.where(sel, d_new, st["dir"])
             mask = jnp.where(sel, 1.0, st["mask"])
-            accu = jnp.where(sel, 0.0, st["accu"])
             rng = jnp.where(spawn, rng_new, st["rng"])
             lbn = jnp.where(spawn, settings.bounce_min, st["lbn"])
             bounce = jnp.where(spawn, 0, st["bounce"])
@@ -153,7 +151,11 @@ def make_regen_integrator(settings: RenderSettings, width, height,
             # the previous diffuse vertex, negative = weight 1) closes MIS
             env = env_miss_weighted(scene, settings, raydir, bsdf_pdf,
                                     cam_vec[15])
-            accu = accu + jnp.where(miss[:, None], mask * env, 0.0)
+            # radiance is ADDITIVE: every term is final when it occurs, so
+            # this wave's contributions are scatter-added into the image at
+            # the end of the wave instead of riding an accumulator column
+            # through the pool permute (3 fewer permuted columns)
+            contrib = jnp.where(miss[:, None], mask * env, 0.0)
             surf = surf & ~miss
 
             hitpoint = orig + raydir * hit_t[:, None]
@@ -171,7 +173,8 @@ def make_regen_integrator(settings: RenderSettings, width, height,
                                    objcol)
             into = dot(n, raydir) < 0.0
             nl = jnp.where(into[:, None], n, -n)
-            accu = accu + jnp.where(surf[:, None], mask * mat["emit"], 0.0)
+            contrib = contrib + jnp.where(surf[:, None],
+                                          mask * mat["emit"], 0.0)
 
             rng, next_dir, mask_mul, offset, term, binc, aux = shade(
                 scene, settings, rng, raydir, n, nl, into, mat, objcol)
@@ -218,7 +221,7 @@ def make_regen_integrator(settings: RenderSettings, width, height,
                 pdf_b = jnp.maximum(cos_e, 0.0) * INV_PI
                 w = power_heuristic(pdf_env, pdf_b)
                 scale = cos_e / jnp.maximum(pdf_env, 1e-12) * w
-                accu = accu + jnp.where(
+                contrib = contrib + jnp.where(
                     lit[:, None], mask_prev * f * scale[:, None] * L_env, 0.0)
                 cos_n = jnp.maximum(dot(raydir, nl), 0.0)
                 bsdf_pdf = jnp.where(
@@ -249,8 +252,8 @@ def make_regen_integrator(settings: RenderSettings, width, height,
                 f = objcol * INV_PI
                 pdf_s = jnp.abs(cos_th) * INV_PI
                 w = (pdf_s + 1.0) / (pdf_s * pdf_s + 1.0)
-                accu = accu + jnp.where(lit[:, None],
-                                        mask * f * ldis * w[:, None], 0.0)
+                contrib = contrib + jnp.where(
+                    lit[:, None], mask * f * ldis * w[:, None], 0.0)
                 lit_b = cand_b & (s_t > 1e10)
                 eta_t = mat["etaT"]
                 surface_f = ((1.0 - fresnel_dielectric(
@@ -258,7 +261,7 @@ def make_regen_integrator(settings: RenderSettings, width, height,
                     / (1.0 - 2.0 * fresnel_moment_1(1.0 / eta_t))) * INV_PI
                 pdf_b2 = jnp.abs(cos_b) * INV_PI
                 w_b = (pdf_b2 + 1.0) / (pdf_b2 * pdf_b2 + 1.0)
-                accu = accu + jnp.where(
+                contrib = contrib + jnp.where(
                     lit_b[:, None],
                     mask_prev * bs_is_mul * (surface_f * w_b)[:, None] * ldis,
                     0.0)
@@ -276,9 +279,9 @@ def make_regen_integrator(settings: RenderSettings, width, height,
             finished = active & (
                 miss | (surf & term) | (bounce >= lbn)
                 | (bounce >= settings.bounce_max))
-            # scatter-add completed paths into the image (channel-split:
-            # three 1-d scatters measured ~2x faster than one row scatter)
-            contrib = jnp.where(finished[:, None], accu, 0.0)
+            # scatter-add this wave's contributions into the image
+            # (channel-split: three 1-d scatters measured ~2x faster than
+            # one row scatter)
             accum = accum.at[pixel].add(contrib[:, 0])
             accum = accum.at[pixel + N].add(contrib[:, 1])
             accum = accum.at[pixel + 2 * N].add(contrib[:, 2])
@@ -287,7 +290,7 @@ def make_regen_integrator(settings: RenderSettings, width, height,
             out = {
                 "accum": accum, "waves": st["waves"] + 1, "rays": rays,
                 "next": nxt, "active": active,
-                "orig": orig, "dir": raydir, "mask": mask, "accu": accu,
+                "orig": orig, "dir": raydir, "mask": mask,
                 "rng": rng, "lbn": lbn, "bounce": bounce, "pixel": pixel,
                 "medium_id": medium_id, "bsdf_pdf": bsdf_pdf,
             }
@@ -299,35 +302,63 @@ def make_regen_integrator(settings: RenderSettings, width, height,
                 # their generation's spatial order.
                 su = active.astype(jnp.int32)
                 iota = jnp.arange(N, dtype=jnp.int32)
-                rank_s = jnp.cumsum(su) - su
-                rank_d = iota - rank_s     # ranks partition the lane index
+                rank_all = jnp.cumsum(su) - su
                 n_surv = jnp.sum(su)
+                rank_d = iota - rank_all   # ranks partition the lane index
+                # octant-major survivor ordering: survivors sorted by
+                # (direction octant, original index), dead lanes still an
+                # exact tail suffix. Packets then cohere in BOTH origin
+                # (index order preserves tile order within an octant) and
+                # direction (octant grouping) — measured -5% frame time vs
+                # index-only ordering (the global octant SORT tried in
+                # round 2 lost because it scrambled origins; this reorders
+                # only inside the live prefix, costs 8 masked cumsums and
+                # no extra gather traffic). Any survivor order is
+                # correctness-neutral: queue sample assignment is
+                # arbitrary and per-pixel sums are unchanged.
+                d_ = out["dir"]
+                oct_ = ((d_[:, 0] < 0).astype(jnp.int32)
+                        | ((d_[:, 1] < 0).astype(jnp.int32) << 1)
+                        | ((d_[:, 2] < 0).astype(jnp.int32) << 2))
+                rank_s = jnp.zeros((N,), jnp.int32)
+                off = jnp.int32(0)
+                for o in range(8):
+                    m = active & (oct_ == o)
+                    mi = m.astype(jnp.int32)
+                    r = jnp.cumsum(mi) - mi
+                    rank_s = jnp.where(m, off + r, rank_s)
+                    off = off + jnp.sum(mi)
                 dst = jnp.where(active, rank_s, n_surv + rank_d)
                 src = jnp.zeros((N,), jnp.int32).at[dst].set(
                     jnp.arange(N, dtype=jnp.int32))
-                # two packed row-gathers instead of eleven scalar gathers
-                fmat = jnp.concatenate(
-                    [out["orig"], out["dir"], out["mask"], out["accu"],
-                     out["bsdf_pdf"][:, None]], axis=1)
-                # small ints ride one packed column (gather cost is
-                # ~0.5 ms per extra row column at 1M lanes):
-                # medium_id+1 (8b) | active (1b @8) | lbn (8b @16) |
-                # bounce (7b @24); bounce/lbn <= bounce_max = 16
+                # ONE merged 13-column row-gather moves the whole pool
+                # state: at 1M-row tables the gather cost is per-INDEX and
+                # nearly column-count-free up to 16 columns (measured
+                # 21.7 ms at 10 == 13 == 16 cols on v5e), so the previous
+                # separate float/int gathers paid the ~21 ms base twice.
+                # Int columns ride as bitcast f32 (bit-exact: the bits are
+                # only moved, never computed with).
+                # pack: medium_id+1 (8b) | active (1b @8) | lbn (8b @16) |
+                # bounce (7b @24); bounce/lbn <= bounce_max <= 127
                 pack = ((out["medium_id"] + 1)
                         | (su << 8)
                         | (out["lbn"] << 16)
                         | (out["bounce"] << 24))
-                imat = jnp.stack(
-                    [out["rng"].astype(jnp.int32), out["pixel"], pack],
-                    axis=1)
-                fmat = jnp.take(fmat, src, axis=0)
-                imat = jnp.take(imat, src, axis=0)
-                out["orig"], out["dir"], out["mask"], out["accu"] = (
-                    fmat[:, 0:3], fmat[:, 3:6], fmat[:, 6:9], fmat[:, 9:12])
-                out["bsdf_pdf"] = fmat[:, 12]
-                out["rng"] = imat[:, 0].astype(jnp.uint32)
-                out["pixel"] = imat[:, 1]
-                pk = imat[:, 2]
+                bc_f = lambda v: jax.lax.bitcast_convert_type(v, jnp.float32)
+                bc_i = lambda v: jax.lax.bitcast_convert_type(v, jnp.int32)
+                pmat = jnp.concatenate(
+                    [out["orig"], out["dir"], out["mask"],
+                     out["bsdf_pdf"][:, None],
+                     bc_f(out["rng"].astype(jnp.int32))[:, None],
+                     bc_f(out["pixel"])[:, None],
+                     bc_f(pack)[:, None]], axis=1)
+                pmat = jnp.take(pmat, src, axis=0)
+                out["orig"], out["dir"], out["mask"] = (
+                    pmat[:, 0:3], pmat[:, 3:6], pmat[:, 6:9])
+                out["bsdf_pdf"] = pmat[:, 9]
+                out["rng"] = bc_i(pmat[:, 10]).astype(jnp.uint32)
+                out["pixel"] = bc_i(pmat[:, 11])
+                pk = bc_i(pmat[:, 12])
                 out["medium_id"] = (pk & 0xFF) - 1
                 out["active"] = ((pk >> 8) & 1) != 0
                 out["lbn"] = (pk >> 16) & 0xFF

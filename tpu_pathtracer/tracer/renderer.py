@@ -194,7 +194,8 @@ class Renderer:
                 scene["env_h"], scene["env_w"] = env.shape[0], env.shape[1]
                 if settings.env_importance_sampling:
                     from .envsample import build_env_distribution
-                    dist = build_env_distribution(env)
+                    dist = build_env_distribution(
+                        env, topk=settings.env_nee_topk)
                     for k, v in dist.items():
                         scene[k] = jnp.asarray(v)
                     # fold the sampler pdf into the quad rows (cols 12:16, same

@@ -57,6 +57,12 @@ class RenderSettings:
     # next-event estimation toward the envmap with MIS (BASELINE config 2);
     # the reference is BSDF-sampling-only, which fireflies on sun disks
     env_importance_sampling: bool = True
+    # NEE draws restricted to the top-k brightest texels (pdf renormalized
+    # over the subset, 0 elsewhere — unbiased under MIS; see
+    # envsample.build_env_distribution for the two measured v5e reasons:
+    # small-table gather cost + shadow-packet direction coherence).
+    # <= 0 disables; envs with fewer texels are unaffected.
+    env_nee_topk: int = 16384
     # integrator: "bounce" = classic full-width bounce loop, "regen" = path
     # regeneration (constant-width always-active pool; see tracer/regen.py)
     integrator: str = "regen"
