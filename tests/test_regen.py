@@ -78,6 +78,39 @@ def test_regen_compact_order_matches_inplace(tmp_path):
     assert out["inplace"][2] >= W * H * 2
 
 
+def test_regen_capped_pool_matches_full(tmp_path):
+    """pool_lanes < W*H runs a narrower always-active pool over the same
+    sample queue: per-sample RNG streams are identical, so the image must
+    match the full-width pool to float-accumulation order, with the same
+    traced-ray total (more, narrower waves)."""
+    import jax
+    import jax.numpy as jnp
+    from tpu_pathtracer.tracer.regen import make_regen_integrator
+
+    mesh = procedural.make_test_scene()
+    fb = load_or_build(mesh, cache_dir=str(tmp_path))
+    mats = [MatDesc(refltype=MAT_DIFF, useTexture=True),
+            MatDesc(refltype=MAT_GLASS),
+            MatDesc(refltype=MAT_REFL)]
+    env = procedural.make_sky_envmap(128, 64)
+    W = H = 48
+    rc = default_camera(W, H).build_render_camera()
+    out = {}
+    for pool in (0, 512):   # 0 = image-sized (2304 lanes); 512 caps
+        r = Renderer(fb, mats, envmap=env, width=W, height=H, settings=None)
+        st = dataclasses.replace(r.settings, pool_lanes=pool)
+        fn = jax.jit(make_regen_integrator(st, W, H, with_stats=True),
+                     static_argnames=("n_frames",))
+        acc, waves, rays = fn(r.scene, jnp.asarray(rc.as_array()),
+                              jnp.uint32(1), jnp.uint32(0), r.zeros_accum(),
+                              n_frames=2)
+        out[pool] = (np.asarray(acc), int(waves), float(rays))
+    d = np.abs(out[0][0] - out[512][0])
+    assert d.max() < 5e-3 and d.mean() < 1e-5
+    assert out[0][2] == out[512][2]          # same path segments traced
+    assert out[512][1] > out[0][1]           # narrower pool -> more waves
+
+
 def test_lane_pixel_xy_matches_swizzle_tables():
     """The closed-form de-swizzle must reproduce the Renderer's lane->pixel
     tables bit for bit, including clipped edge blocks (W or H not a

@@ -30,6 +30,8 @@ PAIRS = [
     ("microfacetReflection.PNG", "ggx_gold.png", "MAT_REFL GGX gold F0"),
     ("microfacetAnisotropic01.PNG", "ggx_aniso.png",
      "MAT_REFL aniso ax!=ay"),
+    ("microfacetAnisotropic02.PNG", "ggx_aniso2.png",
+     "MAT_REFL aniso axes swapped"),
     ("specularGlass.PNG", "smooth_glass.png", "MAT_GLASS alphax=0"),
     ("roughGlass.PNG", "rough_glass.png", "MAT_GLASS rough microfacet"),
     ("fresnelBlend.PNG", "fresnel_blend.png", "MAT_FRESNEL blend"),

@@ -32,6 +32,11 @@ def variants():
         "ggx_aniso": mats(MatDesc(refltype=MAT_REFL, alphax=0.4, alphay=0.05,
                                   F0=F0_PRESETS["silver"],
                                   tangent=(0.0, 1.0, -1.0))),
+        # the reference's second aniso config (microfacetAnisotropic02):
+        # grooves rotated 90 deg — swap the roughness axes
+        "ggx_aniso2": mats(MatDesc(refltype=MAT_REFL, alphax=0.05,
+                                   alphay=0.4, F0=F0_PRESETS["silver"],
+                                   tangent=(0.0, 1.0, -1.0))),
         "diff_refl": mats(MatDesc(refltype=MAT_DIFF_REFL, alphax=0.2,
                                   alphay=0.2, kd=1.0, ks=1.0,
                                   objcol=(0.4, 0.5, 0.8))),

@@ -59,7 +59,14 @@ def make_regen_integrator(settings: RenderSettings, width, height,
                          "permute column)")
 
     def integrate_frames(scene, cam_vec, frame0, lane0, accum, n_frames):
-        N = accum.shape[0]
+        N = accum.shape[0]          # pixels owned by this shard
+        # pool width is DECOUPLED from the image: per-wave cost is
+        # superlinear in pool size (the compact permute's row-gather cost
+        # per index cliffs with table size — 1.9/10.4/21.7 ns at
+        # 16k/131k/1M rows on v5e), so huge frames run a capped pool and
+        # just take more waves; the sample queue spans all pixels either
+        # way. pool_lanes <= 0 means image-sized (the round-2 behavior).
+        P = N if settings.pool_lanes <= 0 else min(settings.pool_lanes, N)
         tot = jnp.uint32(N) * jnp.uint32(n_frames)  # total samples to spawn
 
         # accum rides the loop channel-major flat (3N,): three 1-d
@@ -70,16 +77,16 @@ def make_regen_integrator(settings: RenderSettings, width, height,
             "waves": jnp.uint32(0),
             "rays": jnp.float32(0.0),
             "next": jnp.uint32(0),
-            "active": jnp.zeros((N,), bool),
-            "orig": jnp.zeros((N, 3), jnp.float32),
-            "dir": jnp.zeros((N, 3), jnp.float32).at[:, 2].set(1.0),
-            "mask": jnp.zeros((N, 3), jnp.float32),
-            "rng": jnp.zeros((N,), jnp.uint32),
-            "lbn": jnp.zeros((N,), jnp.int32),
-            "bounce": jnp.zeros((N,), jnp.int32),
-            "pixel": jnp.zeros((N,), jnp.int32),
-            "medium_id": jnp.full((N,), -1, jnp.int32),
-            "bsdf_pdf": jnp.full((N,), -1.0, jnp.float32),
+            "active": jnp.zeros((P,), bool),
+            "orig": jnp.zeros((P, 3), jnp.float32),
+            "dir": jnp.zeros((P, 3), jnp.float32).at[:, 2].set(1.0),
+            "mask": jnp.zeros((P, 3), jnp.float32),
+            "rng": jnp.zeros((P,), jnp.uint32),
+            "lbn": jnp.zeros((P,), jnp.int32),
+            "bounce": jnp.zeros((P,), jnp.int32),
+            "pixel": jnp.zeros((P,), jnp.int32),
+            "medium_id": jnp.full((P,), -1, jnp.int32),
+            "bsdf_pdf": jnp.full((P,), -1.0, jnp.float32),
         }
 
         def cond(st):
@@ -96,8 +103,8 @@ def make_regen_integrator(settings: RenderSettings, width, height,
                 # compaction leaves dead lanes as an exact tail suffix, so
                 # the respawn rank is closed-form — no cumsum pass
                 n_dead = jnp.sum(du, dtype=jnp.uint32)
-                iota = jnp.arange(N, dtype=jnp.uint32)
-                rank = jnp.where(dead, iota - (jnp.uint32(N) - n_dead), 0)
+                iota = jnp.arange(P, dtype=jnp.uint32)
+                rank = jnp.where(dead, iota - (jnp.uint32(P) - n_dead), 0)
             else:
                 rank = jnp.cumsum(du) - du          # exclusive
             sid = st["next"] + rank                 # (N,)
@@ -135,6 +142,11 @@ def make_regen_integrator(settings: RenderSettings, width, height,
             hit_slot, hit_t = trace_rays(scene, settings, orig, raydir,
                                          RAY_MIN, RAY_MAX, anyhit=False,
                                          active=active)
+            if settings.dup_stage == "ext_trace":
+                _, ht2 = trace_rays(scene, settings, orig, raydir,
+                                    RAY_MIN * 1.0000001, RAY_MAX,
+                                    anyhit=False, active=active)
+                hit_t = hit_t + 0.0 * ht2
 
             if settings.has_media:
                 rng, orig, raydir, mask, sampled_medium = medium_interaction(
@@ -143,7 +155,7 @@ def make_regen_integrator(settings: RenderSettings, width, height,
                                 jnp.minimum(lbn + 1, settings.bounce_max),
                                 lbn)
             else:
-                sampled_medium = jnp.zeros((N,), bool)
+                sampled_medium = jnp.zeros((P,), bool)
 
             surf = active & ~sampled_medium
             miss = surf & (hit_t > 1e10)
@@ -187,7 +199,7 @@ def make_regen_integrator(settings: RenderSettings, width, height,
                     mat_id, objcol, ss_lanes)
                 use_bs = ss_lanes & bs_ok
             else:
-                use_bs = jnp.zeros((N,), bool)
+                use_bs = jnp.zeros((P,), bool)
                 bs_orig = hitpoint
                 bs_dir = next_dir
                 bs_mul = mask_mul
@@ -216,6 +228,11 @@ def make_regen_integrator(settings: RenderSettings, width, height,
                 s_slot, s_t = trace_rays(scene, settings, orig, d_env,
                                          RAY_MIN, RAY_MAX, anyhit=True,
                                          active=cand)
+                if settings.dup_stage == "shadow_trace":
+                    _, st2 = trace_rays(scene, settings, orig, d_env,
+                                        RAY_MIN * 1.0000001, RAY_MAX,
+                                        anyhit=True, active=cand)
+                    s_t = s_t + 0.0 * st2
                 lit = cand & (s_t > 1e10)
                 f = mat["kd"][:, None] * objcol * INV_PI
                 pdf_b = jnp.maximum(cos_e, 0.0) * INV_PI
@@ -285,6 +302,10 @@ def make_regen_integrator(settings: RenderSettings, width, height,
             accum = accum.at[pixel].add(contrib[:, 0])
             accum = accum.at[pixel + N].add(contrib[:, 1])
             accum = accum.at[pixel + 2 * N].add(contrib[:, 2])
+            if settings.dup_stage == "scatter":
+                accum = accum.at[pixel].add(0.0 * contrib[:, 0])
+                accum = accum.at[pixel + N].add(0.0 * contrib[:, 1])
+                accum = accum.at[pixel + 2 * N].add(0.0 * contrib[:, 2])
             active = active & ~finished
 
             out = {
@@ -301,7 +322,7 @@ def make_regen_integrator(settings: RenderSettings, width, height,
                 # whole 32x32-tile neighborhoods and surviving packets keep
                 # their generation's spatial order.
                 su = active.astype(jnp.int32)
-                iota = jnp.arange(N, dtype=jnp.int32)
+                iota = jnp.arange(P, dtype=jnp.int32)
                 rank_all = jnp.cumsum(su) - su
                 n_surv = jnp.sum(su)
                 rank_d = iota - rank_all   # ranks partition the lane index
@@ -320,7 +341,7 @@ def make_regen_integrator(settings: RenderSettings, width, height,
                 oct_ = ((d_[:, 0] < 0).astype(jnp.int32)
                         | ((d_[:, 1] < 0).astype(jnp.int32) << 1)
                         | ((d_[:, 2] < 0).astype(jnp.int32) << 2))
-                rank_s = jnp.zeros((N,), jnp.int32)
+                rank_s = jnp.zeros((P,), jnp.int32)
                 off = jnp.int32(0)
                 for o in range(8):
                     m = active & (oct_ == o)
@@ -329,8 +350,8 @@ def make_regen_integrator(settings: RenderSettings, width, height,
                     rank_s = jnp.where(m, off + r, rank_s)
                     off = off + jnp.sum(mi)
                 dst = jnp.where(active, rank_s, n_surv + rank_d)
-                src = jnp.zeros((N,), jnp.int32).at[dst].set(
-                    jnp.arange(N, dtype=jnp.int32))
+                src = jnp.zeros((P,), jnp.int32).at[dst].set(
+                    jnp.arange(P, dtype=jnp.int32))
                 # ONE merged 13-column row-gather moves the whole pool
                 # state: at 1M-row tables the gather cost is per-INDEX and
                 # nearly column-count-free up to 16 columns (measured
@@ -353,6 +374,8 @@ def make_regen_integrator(settings: RenderSettings, width, height,
                      bc_f(out["pixel"])[:, None],
                      bc_f(pack)[:, None]], axis=1)
                 pmat = jnp.take(pmat, src, axis=0)
+                if settings.dup_stage == "permute":
+                    pmat = pmat + 0.0 * jnp.take(pmat, src, axis=0)
                 out["orig"], out["dir"], out["mask"] = (
                     pmat[:, 0:3], pmat[:, 3:6], pmat[:, 6:9])
                 out["bsdf_pdf"] = pmat[:, 9]

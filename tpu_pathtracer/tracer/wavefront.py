@@ -80,6 +80,22 @@ class RenderSettings:
     # pool permutation per wave. (A block-local-queue variant measured
     # worse still — numbers in ARCHITECTURE.md — and was deleted.)
     regen_order: str = "compact"
+    # regen pool width cap (lanes), decoupled from the image: per-wave cost
+    # is superlinear in pool size (the compact permute's per-index gather
+    # cost cliffs with table row count — measured 1.9/10.4/21.7 ns per
+    # index at 16k/131k/1M rows on v5e), so frames larger than the cap run
+    # a fixed-width pool and take proportionally more waves; the sample
+    # queue spans all pixels either way. <= 0 means image-sized (round-2
+    # behavior). Must be a multiple of the packet block (tile_sub*128*
+    # interleave) when it caps; 1M satisfies every shipped packet config.
+    pool_lanes: int = 1 << 20
+    # profiling hook (bench.py stage breakdown): duplicate ONE stage of the
+    # regen wave and consume the copy with x0.0, so (t_dup - t_base) is that
+    # stage's marginal in-situ cost — the only way to price a stage inside
+    # a fused XLA program (deleting a stage instead lets XLA DCE shared
+    # work and under-reports). "" = off; one of "ext_trace", "shadow_trace",
+    # "permute", "scatter".
+    dup_stage: str = ""
     distant_light_L: tuple = (1.2, 1.2, 1.2)      # src/renderkernel.cu:521
     distant_light_dir: tuple = (0.0, 1.3, -3.6)   # src/renderkernel.cu:522
     # traversal backend: "packet" = Pallas packet kernel (TPU),
