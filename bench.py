@@ -19,6 +19,18 @@ Prints ONE JSON line whose headline is the WEAKEST of the baseline axes:
   time_to_1024spp_1080p_min is reported alongside (it is axis 2 expressed
   in wall-clock: baseline time = rays(1024 spp) / 100e6).
 
+Extra diagnostics (VERDICT r02 #2/#3): `incoherent_mrays_per_sec` measures
+traversal on the REAL post-bounce ray population (cosine-sampled from the
+primary-hit distribution — the rate the renderer actually experiences on
+bounce/shadow waves); `wave_breakdown_ms` prices each stage of a wave
+in situ by duplication (run the stage twice, consume the copy with x0.0 —
+deleting a stage instead lets XLA DCE shared work); `frame_floor_ms_1080p`
+composes the measured primitives (incoherent trace rate + 13-col pool
+gather + 3-channel scatter-add memory floors) into a hard floor for a
+1-spp 1080p frame, and `pct_of_floor_1080p` says how close the frame is
+to it. `envelope_mrays_per_sec` is the end-to-end rate the floor implies —
+the most this design can reach on this chip.
+
 Methodology: the tunneled axon runtime adds ~30-60 ms of dispatch+readback
 latency to EVERY host-visible call and its block_until_ready can return
 early, so single-call timings are meaningless. We chain M executions (or
@@ -122,44 +134,134 @@ def main():
     py = jnp.asarray(r._lane_py, jnp.float32)
     _, orig, raydir = generate_camera_rays(cam_vec, rng, px, py)
 
-    def chained_trace(o, d, M):
+    def chained_trace(o, d, M, tile_sub):
         def body(i, carry):
             tm = RAY_MIN * (1.0 + 1e-7 * i.astype(jnp.float32))
-            # (16,4) measured best for coherent primaries on v5e
-            # (364 Mrays/s vs 275 at sub=8, 268 at sub=32)
             s, t = packet_intersect(packed, o, d, tm, RAY_MAX,
-                                    stack_depth=sd, tile_sub=16)
+                                    stack_depth=sd, tile_sub=tile_sub)
             return carry + t[::65536].sum()
         return jax.lax.fori_loop(0, M, body, jnp.float32(0.0))
 
-    def run_m(M):
-        g = jax.jit(lambda o, d: chained_trace(o, d, M))
+    def run_m(o, d, M, tile_sub):
+        g = jax.jit(lambda o_, d_: chained_trace(o_, d_, M, tile_sub))
         box = {}
 
         def fn():
-            box["r"] = g(orig, raydir)
+            box["r"] = g(o, d)
 
         def sync():
             _ = np.asarray(box["r"])
         return _median_time(fn, sync)
 
-    t_lo = run_m(8)
-    t_hi = run_m(136)
+    # (16,4) measured best for coherent primaries on v5e
+    # (364 Mrays/s vs 275 at sub=8, 268 at sub=32)
+    t_lo = run_m(orig, raydir, 8, 16)
+    t_hi = run_m(orig, raydir, 136, 16)
     dt = max((t_hi - t_lo) / 128.0, 1e-9)
     trav_mrays = N / dt / 1e6
 
+    # ------- axis 1b: incoherent traversal (post-bounce population) -------
+    # cosine-hemisphere bounce rays spawned from the real primary-hit
+    # distribution: the population every wave after the first actually
+    # traces (coherent-primary numbers overstate the working rate ~10x).
+    from tpu_pathtracer.tracer.traverse import woop_geometric_normal
+    hs, ht = packet_intersect(packed, orig, raydir, RAY_MIN, RAY_MAX,
+                              stack_depth=sd, tile_sub=16)
+    gn = np.asarray(woop_geometric_normal(r.scene["prims"],
+                                          r.scene["num_nodes"], hs))
+    o_np = np.asarray(orig)
+    d_np = np.asarray(raydir)
+    gn = np.where((np.sum(gn * d_np, -1) < 0.0)[:, None], gn, -gn)
+    hp = o_np + d_np * np.asarray(ht)[:, None]
+    prng = np.random.default_rng(7)
+    u1 = prng.uniform(size=N).astype(np.float32)
+    u2 = prng.uniform(size=N).astype(np.float32)
+    rad = np.sqrt(u1)
+    phi = 2.0 * np.pi * u2
+    t1 = np.cross(gn, np.where(np.abs(gn[:, 2:3]) < 0.9,
+                               [0.0, 0.0, 1.0], [1.0, 0.0, 0.0]))
+    t1 /= np.maximum(np.linalg.norm(t1, axis=-1, keepdims=True), 1e-12)
+    t2 = np.cross(gn, t1)
+    bd = (t1 * (rad * np.cos(phi))[:, None] + t2 * (rad * np.sin(phi))[:, None]
+          + gn * np.sqrt(np.maximum(1.0 - u1, 0.0))[:, None])
+    hit_idx = np.where(np.asarray(hs) >= 0)[0]
+    wrap = hit_idx[np.arange(N) % hit_idx.size]   # fill misses w/ real hits
+    b_orig = jnp.asarray((hp + gn * 1e-3)[wrap].astype(np.float32))
+    b_dir = jnp.asarray(bd[wrap].astype(np.float32))
+    # measured with the DEFAULT integrator packet config (the gated one)
+    d_sub0 = RenderSettings().packet_tile_sub
+    it_lo = run_m(b_orig, b_dir, 4, d_sub0)
+    it_hi = run_m(b_orig, b_dir, 28, d_sub0)
+    idt = max((it_hi - it_lo) / 24.0, 1e-9)
+    incoh_mrays = N / idt / 1e6
+
+    # ---------- memory-system floor microbenches (roofline inputs) ----------
+    # The compact pool's state move is ONE 13-col row-gather; image
+    # accumulation is three 1-d scatter-adds. Neither can be done with less
+    # memory traffic, so their standalone rates are hard per-wave floors.
+    pool_rows = min(1 << 20, N)
+    mb_rng = np.random.default_rng(3)
+    g_tbl = jnp.asarray(mb_rng.normal(size=(pool_rows, 13)).astype(np.float32))
+    g_idx = jnp.asarray(mb_rng.permutation(pool_rows).astype(np.int32))
+
+    def chained_gather(M):
+        def body(i, c):
+            g = jnp.take(g_tbl, (g_idx + i) % pool_rows, axis=0)
+            return c + g[0, 0]
+        return jax.lax.fori_loop(0, M, body, jnp.float32(0.0))
+
+    def run_gather(M):
+        g = jax.jit(lambda: chained_gather(M))
+        box = {}
+
+        def fn():
+            box["r"] = g()
+
+        def sync():
+            _ = np.asarray(box["r"])
+        return _median_time(fn, sync, reps=3)
+
+    g_ms = max(run_gather(24) - run_gather(4), 1e-9) / 20.0 * 1e3
+
+    s_val = jnp.asarray(mb_rng.normal(size=(pool_rows, 3)).astype(np.float32))
+
+    def chained_scatter(M):
+        def body(i, acc):
+            pix = (g_idx + i) % pool_rows
+            acc = acc.at[pix].add(s_val[:, 0])
+            acc = acc.at[pix + pool_rows].add(s_val[:, 1])
+            acc = acc.at[pix + 2 * pool_rows].add(s_val[:, 2])
+            return acc
+        return jax.lax.fori_loop(0, M, body,
+                                 jnp.zeros((3 * pool_rows,), jnp.float32))
+
+    def run_scatter(M):
+        g = jax.jit(lambda: chained_scatter(M))
+        box = {}
+
+        def fn():
+            box["r"] = g()
+
+        def sync():
+            _ = np.asarray(box["r"][:1])
+        return _median_time(fn, sync, reps=3)
+
+    s_ms = max(run_scatter(24) - run_scatter(4), 1e-9) / 20.0 * 1e3
+
     # ------------- axis 2: end-to-end render at 1920x1080 -------------
-    def frame_cost(width, height, reps=4):
+    import dataclasses
+
+    def frame_cost(width, height, reps=4, frames=(1, 3), dup_stage=""):
         """(ms_per_frame_1spp, rays_per_frame, waves_per_frame) via the
         marginal cost of chaining n_frames progressive samples inside one
         device program, using the default (regen) integrator."""
         rr = Renderer(fb, mats, envmap=envmap, texture=texture,
                       width=width, height=height)
+        st = dataclasses.replace(rr.settings, dup_stage=dup_stage)
         rcam = default_camera(width, height).build_render_camera()
         cv = jnp.asarray(rcam.as_array())
         fn = jax.jit(
-            make_regen_integrator(rr.settings, width, height,
-                                  with_stats=True),
+            make_regen_integrator(st, width, height, with_stats=True),
             static_argnames=("n_frames",))
         accum = rr.zeros_accum()
 
@@ -179,26 +281,50 @@ def main():
                         int(np.asarray(box["r"][1])))
             return t
 
-        f_lo = run(1)
-        f_hi = run(3)
-        dtf = max((f_hi - f_lo) / 2.0, 1e-9)
-        rays = (stats[3][0] - stats[1][0]) / 2.0
-        waves = (stats[3][1] - stats[1][1]) / 2.0
+        lo, hi = frames
+        f_lo = run(lo)
+        f_hi = run(hi)
+        span = hi - lo
+        dtf = max((f_hi - f_lo) / span, 1e-9)
+        rays = (stats[hi][0] - stats[lo][0]) / span
+        waves = (stats[hi][1] - stats[lo][1]) / span
         return dtf * 1e3, rays, waves
 
-    ms_hd, rays_hd, waves_hd = frame_cost(1920, 1080)
+    # 1 vs 5 frames: the marginal cost rides a 4-frame delta (VERDICT r02
+    # weak#7 asked for a wider chain than the old 2-frame one)
+    ms_hd, rays_hd, waves_hd = frame_cost(1920, 1080, frames=(1, 5))
     render_mrays = rays_hd / (ms_hd / 1e3) / 1e6
     tt1024_min = ms_hd * 1024.0 / 60e3
     baseline_tt_min = rays_hd * 1024.0 / 100e6 / 60.0
 
     # 1024^2 frame cost for cross-round comparability (BENCH_r01 extra)
-    ms_sq, rays_sq, _ = frame_cost(1024, 1024, reps=3)
+    ms_sq, rays_sq, waves_sq = frame_cost(1024, 1024, reps=3)
+
+    # ---------- per-stage wave cost by in-situ duplication ----------
+    breakdown = {}
+    for stage in ("ext_trace", "shadow_trace", "permute", "scatter"):
+        ms_d, _, _ = frame_cost(1024, 1024, reps=2, dup_stage=stage)
+        breakdown[stage] = round(max(ms_d - ms_sq, 0.0) / max(waves_sq, 1.0),
+                                 2)
+
+    # ---------- roofline: compose measured primitives into a floor ----------
+    # Per-wave floor = rays/wave at the standalone incoherent kernel rate
+    # (the trace envelope) + the pool-state gather + the image scatter at
+    # their standalone memory rates. Respawn/shade/env floors are omitted
+    # (not provably irreducible) — the floor is strictly optimistic.
+    rays_per_wave_hd = rays_hd / max(waves_hd, 1.0)
+    trace_floor_ms = rays_per_wave_hd / (incoh_mrays * 1e3)
+    wave_floor_ms = trace_floor_ms + g_ms + s_ms
+    frame_floor_hd = waves_hd * wave_floor_ms
+    pct_of_floor = frame_floor_hd / ms_hd
+    envelope_mrays = rays_hd / frame_floor_hd / 1e3
 
     ax1 = trav_mrays / 100.0
     ax2 = render_mrays / 100.0
     extra = {
         "device": str(jax.devices()[0]),
         "traversal_mrays_per_sec": round(trav_mrays, 2),
+        "incoherent_mrays_per_sec": round(incoh_mrays, 2),
         "render_mrays_per_sec_1080p": round(render_mrays, 3),
         "time_to_1024spp_1080p_min": round(tt1024_min, 2),
         "baseline_time_to_1024spp_1080p_min": round(baseline_tt_min, 2),
@@ -207,11 +333,18 @@ def main():
         "waves_per_frame_1080p": round(waves_hd, 1),
         "ms_per_frame_1spp": round(ms_sq, 2),          # 1024^2, r01 key
         "render_mpaths_per_sec": round(1024 * 1024 / ms_sq / 1e3, 3),
+        "wave_breakdown_ms": breakdown,                # per wave at 1024^2
+        "pool_gather13_floor_ms": round(g_ms, 2),      # 13-col 1M-row gather
+        "image_scatter3_floor_ms": round(s_ms, 2),     # 3x 1-d scatter-add
+        "frame_floor_ms_1080p": round(frame_floor_hd, 1),
+        "pct_of_floor_1080p": round(pct_of_floor, 3),
+        "envelope_mrays_per_sec": round(envelope_mrays, 2),
         "vs_baseline_traversal": round(ax1, 4),
         "vs_baseline_render": round(ax2, 4),
         "dispatch_latency_ms": round(t_lo * 1e3, 1),
         "methodology": "marginal cost of chained in-program executions; "
-                       "headline = weakest baseline axis",
+                       "headline = weakest baseline axis; floor = measured "
+                       "primitive rates composed per wave",
     }
     if ax1 <= ax2:
         head = {"metric": "traversal_mrays_per_sec",
