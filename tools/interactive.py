@@ -8,9 +8,18 @@ half-block display and termios raw input, keeping the same bindings:
   w/a/s/d  move camera (goForward/strafe)     r/f  altitude up/down
   arrows   yaw / pitch                        [ ]  orbit radius
   g/h      aperture -/+                       t/y  focal distance +/-
-  n/m      rotate envmap (reference: shift-drag)
+  n/m      rotate envmap (also: shift-drag)
   space    reset accumulation (buffer_reset)  ,/.  save / load camera (.cam)
   q / ESC  save output500.ppm and exit
+
+Mouse (xterm SGR 1006 reporting, enabled while the viewer runs — the
+same gestures as the reference's GLUT handlers,
+src/MouseKeyboardInput.h:67-111):
+
+  left-drag    orbit (yaw / pitch)
+  right-drag   orbit radius (zoom)
+  shift-drag   rotate the environment map
+  wheel        orbit radius
 
 Any camera change resets the accumulation buffer, exactly like the
 reference's buffer_reset flag. Snapshots are written at 5 s and 50 s
@@ -46,30 +55,117 @@ def half_block_frame(img):
     return "\n".join(rows)
 
 
+def decode_sgr_mouse(params, final):
+    """Decode one xterm SGR-1006 mouse report \\x1b[<b;x;y(M|m).
+
+    Returns ("MOUSE", kind, button, shift, x, y) where kind is "press",
+    "drag", "release" or "wheel"; button is 0 left / 1 middle / 2 right
+    (wheel: +1 up / -1 down). None on a malformed report."""
+    try:
+        b, x, y = (int(p) for p in params.split(";"))
+    except ValueError:
+        return None
+    shift = bool(b & 4)
+    if b & 64:                       # wheel: 64 = up, 65 = down
+        return ("MOUSE", "wheel", 1 if (b & 3) == 0 else -1, shift, x, y)
+    kind = ("release" if final == "m"
+            else "drag" if b & 32 else "press")
+    return ("MOUSE", kind, b & 3, shift, x, y)
+
+
 class RawInput:
+    # 1002 = button-event (drag) tracking; 1006 = SGR extended coords
+    _MOUSE_ON = "\x1b[?1002h\x1b[?1006h"
+    _MOUSE_OFF = "\x1b[?1002l\x1b[?1006l"
+
     def __enter__(self):
         self.fd = sys.stdin.fileno()
         self.old = termios.tcgetattr(self.fd)
         tty.setcbreak(self.fd)
+        sys.stdout.write(self._MOUSE_ON)
+        sys.stdout.flush()
         return self
 
     def __exit__(self, *a):
+        sys.stdout.write(self._MOUSE_OFF)
+        sys.stdout.flush()
         termios.tcsetattr(self.fd, termios.TCSADRAIN, self.old)
 
     def poll(self):
         keys = []
         while select.select([sys.stdin], [], [], 0)[0]:
             ch = sys.stdin.read(1)
-            if ch == "\x1b":
-                if select.select([sys.stdin], [], [], 0.01)[0]:
-                    seq = sys.stdin.read(2)
-                    keys.append({"[A": "UP", "[B": "DOWN", "[C": "RIGHT",
-                                 "[D": "LEFT"}.get(seq, "ESC"))
-                else:
-                    keys.append("ESC")
-            else:
+            if ch != "\x1b":
                 keys.append(ch)
+                continue
+            if not select.select([sys.stdin], [], [], 0.01)[0]:
+                keys.append("ESC")
+                continue
+            c1 = sys.stdin.read(1)
+            if c1 != "[":
+                keys.append("ESC")
+                continue
+            c2 = sys.stdin.read(1)
+            if c2 in "ABCD":
+                keys.append({"A": "UP", "B": "DOWN", "C": "RIGHT",
+                             "D": "LEFT"}[c2])
+            elif c2 == "<":
+                params = ""
+                while True:
+                    c = sys.stdin.read(1)
+                    if c in "Mm" or not c:
+                        break
+                    params += c
+                ev = decode_sgr_mouse(params, c)
+                if ev is not None:
+                    keys.append(ev)
+            else:
+                keys.append("ESC")
         return keys
+
+
+class MouseOrbit:
+    """Drag state machine mapping SGR mouse events onto the interactive
+    camera — the reference's motion/mouse handlers
+    (src/MouseKeyboardInput.h:67-111) with the same gesture map."""
+
+    YAW_PER_CELL = 0.01     # rad per terminal cell (2 image px vertically)
+    PITCH_PER_CELL = 0.02
+    RADIUS_PER_CELL = 0.05
+    ENV_PER_CELL = 0.002    # envmap rotation is in [0,1) turns
+
+    def __init__(self):
+        self.last = None     # (x, y) of the previous press/drag report
+
+    def apply(self, ev, icam):
+        """Returns True if the camera changed (=> reset accumulation)."""
+        _, kind, button, shift, x, y = ev
+        if kind == "wheel":
+            icam.change_radius(-button * self.RADIUS_PER_CELL * 3.0)
+            return True
+        if kind == "press":
+            self.last = (x, y)
+            return False
+        if kind == "release":
+            self.last = None
+            return False
+        # drag
+        if self.last is None:
+            self.last = (x, y)
+            return False
+        dx, dy = x - self.last[0], y - self.last[1]
+        self.last = (x, y)
+        if dx == 0 and dy == 0:
+            return False
+        if shift:
+            icam.env_map_rotation = (
+                icam.env_map_rotation + dx * self.ENV_PER_CELL) % 1.0
+        elif button == 2:
+            icam.change_radius(dy * self.RADIUS_PER_CELL)
+        else:
+            icam.change_yaw(-dx * self.YAW_PER_CELL)
+            icam.change_pitch(-dy * self.PITCH_PER_CELL)
+        return True
 
 
 def main():
@@ -166,8 +262,8 @@ def main():
         elif k == "]":
             icam.change_radius(scale)
         elif k == "n":
-            # envmap rotation (the reference binds this to shift-drag,
-            # src/MouseKeyboardInput.h:88-92; a terminal has no mouse)
+            # envmap rotation (also on shift-drag, as in the reference —
+            # src/MouseKeyboardInput.h:88-92)
             icam.env_map_rotation = (icam.env_map_rotation + 0.01) % 1.0
         elif k == "m":
             icam.env_map_rotation = (icam.env_map_rotation - 0.01) % 1.0
@@ -185,12 +281,15 @@ def main():
         return True  # camera changed -> reset accumulation
 
     sys.stdout.write("\x1b[2J")  # clear
+    mouse = MouseOrbit()
     with RawInput() as inp:
         while True:
             reset = False
             quit_ = False
             for k in inp.poll():
-                if k in ("q", "ESC"):
+                if isinstance(k, tuple) and k[0] == "MOUSE":
+                    reset = mouse.apply(k, icam) or reset
+                elif k in ("q", "ESC"):
                     quit_ = True
                 else:
                     reset = apply(k) or reset
