@@ -36,9 +36,14 @@ def test_megapixel_envmap_end_to_end(tmp_path):
     # alias-table build over 2M texels must be sub-second (native Vose;
     # the reference's CDF build in initHDR is likewise O(n) at startup)
     from tpu_pathtracer.tracer.envsample import build_env_distribution
-    t0 = time.perf_counter()
-    dist = build_env_distribution(back, topk=0)   # full 2M-texel table
-    dt_full = time.perf_counter() - t0
+    # CPU time, best of 2: wall-clock asserts flake when the box is loaded
+    # (e.g. a concurrent TPU bench saturating host cores); the build is
+    # single-threaded C + numpy, ~0.7 s CPU at 2M texels
+    dt_full = float("inf")
+    for _ in range(2):
+        t0 = time.process_time()
+        dist = build_env_distribution(back, topk=0)   # full 2M-texel table
+        dt_full = min(dt_full, time.process_time() - t0)
     assert dist["env_alias"].shape[0] == 2048 * 1024
     assert dt_full < 1.0, "full-table alias build took %.2fs" % dt_full
 
