@@ -36,7 +36,7 @@ from .renderer import generate_camera_rays, lane_pixel_xy
 
 
 def make_regen_integrator(settings: RenderSettings, width, height,
-                          with_stats=False):
+                          with_stats=False, stop_after_waves=0):
     """Returns integrate_frames(scene, cam_vec, frame0, lane0, accum,
     n_frames) — lane0 is the shard's global lane offset (0 single-chip).
 
@@ -90,7 +90,13 @@ def make_regen_integrator(settings: RenderSettings, width, height,
         }
 
         def cond(st):
-            return (st["next"] < tot) | jnp.any(st["active"])
+            go = (st["next"] < tot) | jnp.any(st["active"])
+            if stop_after_waves:
+                # diagnostic hook (perf probes): freeze the pool after k
+                # waves so the mid-frame ray population can be measured
+                # standalone (see tools/probe_trace.py)
+                go = go & (st["waves"] < stop_after_waves)
+            return go
 
         def body(st):
             accum = st["accum"]
@@ -380,6 +386,8 @@ def make_regen_integrator(settings: RenderSettings, width, height,
             return out
 
         st = jax.lax.while_loop(cond, body, st)
+        if stop_after_waves:
+            return st          # raw pool state for perf probes
         acc_out = jnp.transpose(st["accum"].reshape(3, N))
         if with_stats:
             return acc_out, st["waves"], st["rays"]
