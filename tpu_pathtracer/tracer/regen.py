@@ -58,6 +58,9 @@ def make_regen_integrator(settings: RenderSettings, width, height,
                          "(bounce rides a 7-bit field of the packed "
                          "permute column)")
 
+    deferred = (settings.scatter_mode == "deferred"
+                and settings.regen_order == "compact")
+
     def integrate_frames(scene, cam_vec, frame0, lane0, accum, n_frames):
         N = accum.shape[0]          # pixels owned by this shard
         # pool width is DECOUPLED from the image: per-wave cost is
@@ -88,6 +91,9 @@ def make_regen_integrator(settings: RenderSettings, width, height,
             "medium_id": jnp.full((P,), -1, jnp.int32),
             "bsdf_pdf": jnp.full((P,), -1.0, jnp.float32),
         }
+        if deferred:
+            # per-path radiance, flushed to the image when the path dies
+            st["L"] = jnp.zeros((P, 3), jnp.float32)
 
         def cond(st):
             go = (st["next"] < tot) | jnp.any(st["active"])
@@ -138,6 +144,8 @@ def make_regen_integrator(settings: RenderSettings, width, height,
             pixel = jnp.where(spawn, pixel_new, st["pixel"])
             medium_id = jnp.where(spawn, -1, st["medium_id"])
             bsdf_pdf = jnp.where(spawn, -1.0, st["bsdf_pdf"])
+            if deferred:
+                ell = jnp.where(sel, 0.0, st["L"])
             active = active | spawn
             rays = st["rays"] + jnp.sum(active, dtype=jnp.float32)
 
@@ -227,6 +235,10 @@ def make_regen_integrator(settings: RenderSettings, width, height,
                 rng, (e1, e2) = RaySampler.next_n(rng, 2)
                 d_env, pdf_env, L_env = sample_env(scene, e1, e2,
                                                    cam_vec[15])
+                if settings.dup_stage == "sample_env":
+                    # swapped args defeat CSE; consumed with x0.0
+                    d2, p2, L2 = sample_env(scene, e2, e1, cam_vec[15])
+                    pdf_env = pdf_env + 0.0 * (p2 + d2[:, 0] + L2[:, 0])
                 cos_e = dot(d_env, nl)
                 diff_lane = surf & (mat["refltype"] == MAT_DIFF)
                 cand = diff_lane & (cos_e > 0.0) & (pdf_env > 1e-12)
@@ -302,16 +314,22 @@ def make_regen_integrator(settings: RenderSettings, width, height,
             finished = active & (
                 miss | (surf & term) | (bounce >= lbn)
                 | (bounce >= settings.bounce_max))
-            # scatter-add this wave's contributions into the image
-            # (channel-split: three 1-d scatters measured ~2x faster than
-            # one row scatter)
-            accum = accum.at[pixel].add(contrib[:, 0])
-            accum = accum.at[pixel + N].add(contrib[:, 1])
-            accum = accum.at[pixel + 2 * N].add(contrib[:, 2])
-            if settings.dup_stage == "scatter":
-                accum = accum.at[pixel].add(0.0 * contrib[:, 0])
-                accum = accum.at[pixel + N].add(0.0 * contrib[:, 1])
-                accum = accum.at[pixel + 2 * N].add(0.0 * contrib[:, 2])
+            if deferred:
+                # bank this wave's contributions on the path; the image
+                # scatter happens at path death from the compacted tail
+                # window (see the flush after the permute below)
+                ell = ell + contrib
+            else:
+                # scatter-add this wave's contributions into the image
+                # (channel-split: three 1-d scatters measured ~2x faster
+                # than one row scatter)
+                accum = accum.at[pixel].add(contrib[:, 0])
+                accum = accum.at[pixel + N].add(contrib[:, 1])
+                accum = accum.at[pixel + 2 * N].add(contrib[:, 2])
+                if settings.dup_stage == "scatter":
+                    accum = accum.at[pixel].add(0.0 * contrib[:, 0])
+                    accum = accum.at[pixel + N].add(0.0 * contrib[:, 1])
+                    accum = accum.at[pixel + 2 * N].add(0.0 * contrib[:, 2])
             active = active & ~finished
 
             out = {
@@ -321,6 +339,8 @@ def make_regen_integrator(settings: RenderSettings, width, height,
                 "rng": rng, "lbn": lbn, "bounce": bounce, "pixel": pixel,
                 "medium_id": medium_id, "bsdf_pdf": bsdf_pdf,
             }
+            if deferred:
+                out["L"] = ell
             if settings.regen_order == "compact":
                 # stable-compact survivors to the front; dead lanes collect
                 # at the tail where next wave's respawn (rank order) hands
@@ -349,6 +369,10 @@ def make_regen_integrator(settings: RenderSettings, width, height,
                                 (jnp.maximum(hit_slot, 0) << 3) | oct_,
                                 jnp.int32(2 ** 30))
                 src = jnp.argsort(key, stable=True).astype(jnp.int32)
+                if settings.dup_stage == "sort":
+                    # key+1 has the same argsort but defeats CSE
+                    src = src + 0 * jnp.argsort(key + 1,
+                                                stable=True).astype(jnp.int32)
                 # ONE merged 13-column row-gather moves the whole pool
                 # state: at 1M-row tables the gather cost is per-INDEX and
                 # nearly column-count-free up to 16 columns (measured
@@ -364,12 +388,14 @@ def make_regen_integrator(settings: RenderSettings, width, height,
                         | (out["bounce"] << 24))
                 bc_f = lambda v: jax.lax.bitcast_convert_type(v, jnp.float32)
                 bc_i = lambda v: jax.lax.bitcast_convert_type(v, jnp.int32)
-                pmat = jnp.concatenate(
-                    [out["orig"], out["dir"], out["mask"],
-                     out["bsdf_pdf"][:, None],
-                     bc_f(out["rng"].astype(jnp.int32))[:, None],
-                     bc_f(out["pixel"])[:, None],
-                     bc_f(pack)[:, None]], axis=1)
+                cols = [out["orig"], out["dir"], out["mask"],
+                        out["bsdf_pdf"][:, None],
+                        bc_f(out["rng"].astype(jnp.int32))[:, None],
+                        bc_f(out["pixel"])[:, None],
+                        bc_f(pack)[:, None]]
+                if deferred:
+                    cols.append(out["L"])          # 13 -> 16 cols, ~free
+                pmat = jnp.concatenate(cols, axis=1)
                 pmat = jnp.take(pmat, src, axis=0)
                 if settings.dup_stage == "permute":
                     pmat = pmat + 0.0 * jnp.take(pmat, src, axis=0)
@@ -383,7 +409,59 @@ def make_regen_integrator(settings: RenderSettings, width, height,
                 out["active"] = ((pk >> 8) & 1) != 0
                 out["lbn"] = (pk >> 16) & 0xFF
                 out["bounce"] = pk >> 24
+                if deferred:
+                    out["L"] = pmat[:, 13:16]
+                    out["accum"] = _flush(out)
+                    # flushed radiance must not flush twice: a dead lane
+                    # can sit in the tail for many waves once the sample
+                    # queue is exhausted
+                    out["L"] = jnp.where(out["active"][:, None],
+                                         out["L"], 0.0)
             return out
+
+        # window = half the pool: mean per-wave death rate is ~28% of the
+        # pool (waves/frame ~3.6) but early waves (sky misses) run higher —
+        # a quarter-pool window overflowed to the full-flush branch on most
+        # waves and won only 11 ms/frame at 1024^2; the half-pool window
+        # catches nearly every wave while still halving the scatter
+        Kw = max(P // 2, 1)
+
+        def _flush(out):
+            """Scatter dead paths' banked radiance into the image.
+
+            After compaction dead lanes are an EXACT tail suffix, so when
+            <= Kw lanes are dead the scatter touches only the last Kw pool
+            rows — the scatter-add costs ~10 ms per 1M indices per channel
+            on v5e, so a quarter-pool window cuts the per-wave image-
+            accumulation cost ~4x. The rare wave where more than Kw lanes
+            die (a frame's last wave, mass sky misses) takes the full-pool
+            branch of the cond instead — nothing is ever dropped."""
+            acc = out["accum"]
+            n_alive = jnp.sum(out["active"], dtype=jnp.int32)
+            act_c = out["active"][:, None]
+
+            def flush_window(a):
+                lw = jnp.where(act_c[P - Kw:], 0.0, out["L"][P - Kw:])
+                pw = out["pixel"][P - Kw:]
+                a = a.at[pw].add(lw[:, 0])
+                a = a.at[pw + N].add(lw[:, 1])
+                a = a.at[pw + 2 * N].add(lw[:, 2])
+                return a
+
+            def flush_full(a):
+                lf = jnp.where(act_c, 0.0, out["L"])
+                pf = out["pixel"]
+                a = a.at[pf].add(lf[:, 0])
+                a = a.at[pf + N].add(lf[:, 1])
+                a = a.at[pf + 2 * N].add(lf[:, 2])
+                return a
+
+            fits = (P - n_alive) <= Kw
+            acc = jax.lax.cond(fits, flush_window, flush_full, acc)
+            if settings.dup_stage == "scatter":
+                acc = acc + 0.0 * jax.lax.cond(fits, flush_window,
+                                               flush_full, acc)
+            return acc
 
         st = jax.lax.while_loop(cond, body, st)
         if stop_after_waves:

@@ -94,8 +94,19 @@ class RenderSettings:
     # stage's marginal in-situ cost — the only way to price a stage inside
     # a fused XLA program (deleting a stage instead lets XLA DCE shared
     # work and under-reports). "" = off; one of "ext_trace", "shadow_trace",
-    # "permute", "scatter".
+    # "permute", "scatter", "sort", "sample_env".
     dup_stage: str = ""
+    # image-accumulation discipline for the regen integrator: "deferred"
+    # carries per-path radiance in three extra pool columns (rides the
+    # compact permute ~free: the 13->16-col row gather is per-INDEX,
+    # measured column-count-flat up to 16 on v5e) and scatter-adds only
+    # the compacted dead TAIL window (pool/4 indices) when paths finish,
+    # with a lax.cond full-pool flush on the rare wave where more than
+    # pool/4 lanes die. "wave" scatter-adds every lane's contribution
+    # every wave (round-2 behavior; the scatter is per-index, so it costs
+    # the full pool width each wave). Deferral needs the compaction tail
+    # (regen_order="compact"); "wave" is used otherwise.
+    scatter_mode: str = "deferred"
     distant_light_L: tuple = (1.2, 1.2, 1.2)      # src/renderkernel.cu:521
     distant_light_dir: tuple = (0.0, 1.3, -3.6)   # src/renderkernel.cu:522
     # traversal backend: "packet" = Pallas packet kernel (TPU),
