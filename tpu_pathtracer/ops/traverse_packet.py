@@ -188,17 +188,180 @@ def _make_step(tab_ref, rays, anyhit, smem_tabs=None):
     return step
 
 
-def _kernel(*refs, anyhit, stack_depth, interleave, sub, smem_table):
+def _make_step_branch(tab_ref, rays, anyhit, smem_tabs=None):
+    """Branched variant of _make_step: a 3-way lax.switch on the cursor
+    (finished / node / triangle) instead of computing both interpretations
+    every step. Saves half the VPU work per step and makes a finished
+    packet's steps near-free (today a done packet keeps burning full steps
+    until its interleave-mates finish). Costs one scalar multi-way branch
+    per step — whether that beats the branch-free overlap is measured on
+    device (see RenderSettings.packet_step)."""
+    idx_, idy, idz = rays["idx"], rays["idy"], rays["idz"]
+    oodx, oody, oodz = rays["oodx"], rays["oody"], rays["oodz"]
+    ox, oy, oz = rays["ox"], rays["oy"], rays["oz"]
+    dx, dy, dz = rays["dx"], rays["dy"], rays["dz"]
+    tmin = rays["tmin"]
+    act = rays["act"]
+
+    def step(st, stack_ref, base):
+        cur, sp, hit_slot, hit_t, done = st
+        is_node = cur >= 0
+        row = jnp.where(cur < 0, ~cur, jnp.maximum(cur, 0))
+
+        if smem_tabs is not None:
+            tab_smem, meta_smem = smem_tabs
+            rb = row * 12
+
+            def sc(c):
+                return tab_smem[rb + c]
+
+            def sci(c):
+                return meta_smem[row * 2 + (c - 12)]
+        else:
+            prow = tab_ref[pl.ds(row, 1), :]
+
+            def sci(c):
+                v = jax.lax.bitcast_convert_type(prow[0:1, c:c + 1],
+                                                 jnp.int32)
+                return jnp.sum(v)
+
+            def sc(c):
+                return jnp.sum(prow[0:1, c:c + 1])
+
+        vote = act & (done == 0)
+        top = stack_ref[base + jnp.maximum(sp - 1, 0)]
+        popped = jnp.where(sp > 0, top, SENTINEL)
+        pop_sp = jnp.maximum(sp - 1, 0)
+
+        def dead_fn():
+            return cur, sp, hit_slot, hit_t, done
+
+        def node_fn():
+            f0, f1, f2, f3 = sc(0), sc(1), sc(2), sc(3)
+            f4, f5, f6, f7 = sc(4), sc(5), sc(6), sc(7)
+            f8, f9, f10, f11 = sc(8), sc(9), sc(10), sc(11)
+            m0 = sci(12)
+            m1 = sci(13)
+            c0lox = f0 * idx_ - oodx
+            c0hix = f1 * idx_ - oodx
+            c0loy = f2 * idy - oody
+            c0hiy = f3 * idy - oody
+            c1lox = f4 * idx_ - oodx
+            c1hix = f5 * idx_ - oodx
+            c1loy = f6 * idy - oody
+            c1hiy = f7 * idy - oody
+            c0loz = f8 * idz - oodz
+            c0hiz = f9 * idz - oodz
+            c1loz = f10 * idz - oodz
+            c1hiz = f11 * idz - oodz
+            c0min = jnp.maximum(jnp.maximum(jnp.minimum(c0lox, c0hix),
+                                            jnp.minimum(c0loy, c0hiy)),
+                                jnp.maximum(jnp.minimum(c0loz, c0hiz),
+                                            tmin))
+            c0max = jnp.minimum(jnp.minimum(jnp.maximum(c0lox, c0hix),
+                                            jnp.maximum(c0loy, c0hiy)),
+                                jnp.minimum(jnp.maximum(c0loz, c0hiz),
+                                            hit_t))
+            c1min = jnp.maximum(jnp.maximum(jnp.minimum(c1lox, c1hix),
+                                            jnp.minimum(c1loy, c1hiy)),
+                                jnp.maximum(jnp.minimum(c1loz, c1hiz),
+                                            tmin))
+            c1max = jnp.minimum(jnp.minimum(jnp.maximum(c1lox, c1hix),
+                                            jnp.maximum(c1loy, c1hiy)),
+                                jnp.minimum(jnp.maximum(c1loz, c1hiz),
+                                            hit_t))
+            v0 = vote & (c0min <= c0max)
+            v1 = vote & (c1min <= c1max)
+            e0 = jnp.min(jnp.where(v0, c0min, F32_BIG))
+            e1 = jnp.min(jnp.where(v1, c1min, F32_BIG))
+            any0 = e0 < F32_BIG
+            any1 = e1 < F32_BIG
+            both = any0 & any1
+            swap = both & (e1 < e0)
+            near = jnp.where(swap, m1, m0)
+            far = jnp.where(swap, m0, m1)
+            nxt = jnp.where(both, near, jnp.where(any0, m0, m1))
+            need_pop = ~any0 & ~any1
+            new_cur = jnp.where(need_pop, popped, nxt)
+            new_sp = jnp.where(need_pop, pop_sp, sp)
+
+            @pl.when(both)
+            def _():
+                stack_ref[base + new_sp] = far
+
+            new_sp = new_sp + both.astype(jnp.int32)
+            return new_cur, new_sp, hit_slot, hit_t, done
+
+        def tri_fn():
+            f0, f1, f2, f3 = sc(0), sc(1), sc(2), sc(3)
+            f4, f5, f6, f7 = sc(4), sc(5), sc(6), sc(7)
+            f8, f9, f10, f11 = sc(8), sc(9), sc(10), sc(11)
+            m0 = sci(12)
+            m1 = sci(13)
+            Oz = f3 - ox * f0 - oy * f1 - oz * f2
+            invDz = 1.0 / (dx * f0 + dy * f1 + dz * f2)
+            t = Oz * invDz
+            Ox = f7 + ox * f4 + oy * f5 + oz * f6
+            u = Ox + t * (dx * f4 + dy * f5 + dz * f6)
+            Oy = f11 + ox * f8 + oy * f9 + oz * f10
+            v = Oy + t * (dx * f8 + dy * f9 + dz * f10)
+            tri_hit = vote & (t > tmin) & (t < hit_t) \
+                & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
+            new_t = jnp.where(tri_hit, t, hit_t)
+            new_slot = jnp.where(tri_hit, m0, hit_slot)
+            new_done = done
+            tri_last = m1 != 0
+            if anyhit:
+                new_done = done | tri_hit.astype(jnp.int32)
+                tri_stop = tri_last | ~jnp.any(act & (new_done == 0))
+            else:
+                tri_stop = tri_last
+            new_cur = jnp.where(tri_stop, popped, cur - 1)
+            new_sp = jnp.where(tri_stop, pop_sp, sp)
+            return new_cur, new_sp, new_slot, new_t, new_done
+
+        branch = jnp.where(cur == SENTINEL, 0,
+                           jnp.where(is_node, 1, 2))
+        return jax.lax.switch(branch, (dead_fn, node_fn, tri_fn))
+
+    return step
+
+
+def _make_step_skip(tab_ref, rays, anyhit, smem_tabs=None):
+    """Fused step wrapped in a dead-packet skip: keeps the branch-free
+    node+tri math (scalar chains overlap across interleaved packets) but
+    makes a finished packet's remaining steps near-free with ONE scalar
+    cond — the middle ground between 'fused' and 'branch'."""
+    inner = _make_step(tab_ref, rays, anyhit, smem_tabs=smem_tabs)
+
+    def step(st, stack_ref, base):
+        def live():
+            return inner(st, stack_ref, base)
+
+        def dead():
+            return st
+
+        return jax.lax.cond(st[0] != SENTINEL, live, dead)
+
+    return step
+
+
+def _kernel(*refs, anyhit, stack_depth, interleave, sub, smem_table,
+            step_mode="fused", count_steps=False):
     if smem_table:
         (tab_smem, meta_smem, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
          dz_ref, tmin_ref, tmax_ref, act_ref, slot_ref, t_ref,
-         stack_ref) = refs
+         *rest) = refs
         tab_ref = None
         smem_tabs = (tab_smem, meta_smem)
     else:
         (tab_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-         tmin_ref, tmax_ref, act_ref, slot_ref, t_ref, stack_ref) = refs
+         tmin_ref, tmax_ref, act_ref, slot_ref, t_ref, *rest) = refs
         smem_tabs = None
+    if count_steps:
+        nst_ref, stack_ref = rest
+    else:
+        (stack_ref,) = rest
     G = interleave
     ooeps = jnp.float32(2.0 ** -80)
 
@@ -229,11 +392,15 @@ def _kernel(*refs, anyhit, stack_depth, interleave, sub, smem_table):
         tmax_g = tmax_ref[sl, :]
         hit_t0 = jnp.where(rays["act"], tmax_g, rays["tmin"])
         cur0 = jnp.where(jnp.any(rays["act"]), jnp.int32(0), SENTINEL)
-        states.append((cur0, jnp.int32(0),
-                       jnp.full((sub, 128), -1, jnp.int32), hit_t0,
-                       jnp.zeros((sub, 128), jnp.int32)))
-        steps.append(_make_step(tab_ref, rays, anyhit,
-                                smem_tabs=smem_tabs))
+        state = (cur0, jnp.int32(0),
+                 jnp.full((sub, 128), -1, jnp.int32), hit_t0,
+                 jnp.zeros((sub, 128), jnp.int32))
+        if count_steps:
+            state = state + (jnp.int32(0),)   # live-step counter
+        states.append(state)
+        mk = {"branch": _make_step_branch,
+              "skip": _make_step_skip}.get(step_mode, _make_step)
+        steps.append(mk(tab_ref, rays, anyhit, smem_tabs=smem_tabs))
 
     def cond(c):
         alive = c[0][0] != SENTINEL
@@ -244,16 +411,22 @@ def _kernel(*refs, anyhit, stack_depth, interleave, sub, smem_table):
     def body(c):
         out = []
         for g in range(G):
-            out.append(steps[g](c[g], stack_ref, g * stack_depth))
+            new = steps[g](c[g][:5], stack_ref, g * stack_depth)
+            if count_steps:
+                new = new + (c[g][5]
+                             + (c[g][0] != SENTINEL).astype(jnp.int32),)
+            out.append(new)
         return tuple(out)
 
     final = jax.lax.while_loop(cond, body, tuple(states))
     for g in range(G):
         sl = pl.ds(g * sub, sub)
-        cur, sp, hit_slot, hit_t, done = final[g]
+        cur, sp, hit_slot, hit_t, done = final[g][:5]
         act = act_ref[sl, :] != 0
         slot_ref[sl, :] = hit_slot
         t_ref[sl, :] = jnp.where(act, hit_t, tmax_ref[sl, :])
+        if count_steps:
+            nst_ref[sl, :] = jnp.full((sub, 128), final[g][5], jnp.int32)
 
 
 # SMEM is 1 MiB on v5e (measured empirically: a 512 KiB scalar scratch
@@ -265,11 +438,15 @@ _SMEM_TABLE_BUDGET_BYTES = 700_000
 
 def packet_intersect(packed, orig, raydir, tmin, tmax, anyhit=False,
                      stack_depth=64, active=None, tile_sub=8, interleave=4,
-                     table_mem="auto", interpret=False):
+                     table_mem="auto", step_mode="fused", count_steps=False,
+                     interpret=False):
     """Packet-traverse rays against the packed (K,16) primitive stream.
 
     orig/raydir: [N,3]; N is padded to tile_sub*interleave*128 internally.
-    Returns (hit_slot [N] i32, hit_t [N] f32).
+    Returns (hit_slot [N] i32, hit_t [N] f32); with count_steps=True also
+    a per-lane i32 of its packet's live step count (diagnostic: the
+    roofline's steps-per-wave input — all lanes of a packet share the
+    value).
 
     table_mem: "smem" holds the table in scalar memory (scalar-prefetch
     operands; per-step values become plain scalar loads — measured 2.2x
@@ -318,10 +495,14 @@ def packet_intersect(packed, orig, raydir, tmin, tmax, anyhit=False,
         jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
         jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
     ]
+    if count_steps:
+        out_shape.append(jax.ShapeDtypeStruct((rows, LANES), jnp.int32))
+    n_out = len(out_shape)
     kern = functools.partial(_kernel, anyhit=anyhit,
                              stack_depth=stack_depth,
                              interleave=interleave, sub=tile_sub,
-                             smem_table=(table_mem == "smem"))
+                             smem_table=(table_mem == "smem"),
+                             step_mode=step_mode, count_steps=count_steps)
     if table_mem == "smem":
         # flattened f32 box/woop columns + i32 meta as scalar-prefetch
         # operands (2-D SMEM operands get lane-padded to 128 columns —
@@ -335,11 +516,11 @@ def packet_intersect(packed, orig, raydir, tmin, tmax, anyhit=False,
             num_scalar_prefetch=2,
             grid=(n_tiles,),
             in_specs=[ray_spec] * 9,
-            out_specs=[ray_spec, ray_spec],
+            out_specs=[ray_spec] * n_out,
             scratch_shapes=[pltpu.SMEM((stack_depth * interleave,),
                                        jnp.int32)],
         )
-        slot, t = pl.pallas_call(
+        outs = pl.pallas_call(
             kern, grid_spec=grid_spec, out_shape=out_shape,
             interpret=interpret,
         )(tab_flat, meta_flat, *args)
@@ -348,14 +529,18 @@ def packet_intersect(packed, orig, raydir, tmin, tmax, anyhit=False,
                                 memory_space=pltpu.VMEM)
         tab_spec = pl.BlockSpec(packed.shape, lambda i: (0, 0),
                                 memory_space=pltpu.VMEM)
-        slot, t = pl.pallas_call(
+        outs = pl.pallas_call(
             kern,
             grid=(n_tiles,),
             in_specs=[tab_spec] + [ray_spec] * 9,
-            out_specs=[ray_spec, ray_spec],
+            out_specs=[ray_spec] * n_out,
             out_shape=out_shape,
             scratch_shapes=[pltpu.SMEM((stack_depth * interleave,),
                                        jnp.int32)],
             interpret=interpret,
         )(packed, *args)
+    slot, t = outs[0], outs[1]
+    if count_steps:
+        return (slot.reshape(-1)[:N], t.reshape(-1)[:N],
+                outs[2].reshape(-1)[:N])
     return slot.reshape(-1)[:N], t.reshape(-1)[:N]
