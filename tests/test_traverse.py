@@ -153,3 +153,56 @@ def test_packet_kernel_smem_budget_guard(scene):
     with pytest.raises(ValueError, match="SMEM budget"):
         packet_intersect(big, jnp.asarray(orig), jnp.asarray(d),
                          RAY_MIN, RAY_MAX, table_mem="smem", interpret=True)
+
+def test_packet_step_branch_matches_fused(scene):
+    """The 'branch' step body (3-way cursor switch) must be bit-identical
+    to the fused default, for closest-hit and anyhit, with sparse active
+    masks. (bench tooling re-gates it on the real device — interpret mode
+    does not catch Mosaic miscompiles.)"""
+    from tpu_pathtracer.tracer.traverse import pack_stream
+    from tpu_pathtracer.ops.traverse_packet import packet_intersect
+    from tpu_pathtracer.core.vecmath import RAY_MIN, RAY_MAX
+
+    mesh, fb = scene
+    packed = jnp.asarray(pack_stream(fb.prims, fb.meta))
+    orig, d = _random_rays(512, 23)
+    act = jnp.asarray((np.random.default_rng(5).uniform(size=512) > 0.4)
+                      .astype(np.int32))
+    for anyhit in (False, True):
+        outs = {}
+        for mode in ("fused", "branch"):
+            s, t = packet_intersect(packed, jnp.asarray(orig),
+                                    jnp.asarray(d), RAY_MIN, RAY_MAX,
+                                    anyhit=anyhit,
+                                    stack_depth=fb.max_depth + 2,
+                                    active=act, step_mode=mode,
+                                    interpret=True)
+            outs[mode] = (np.asarray(s), np.asarray(t))
+        np.testing.assert_array_equal(outs["fused"][0], outs["branch"][0])
+        np.testing.assert_array_equal(outs["fused"][1], outs["branch"][1])
+
+
+def test_packet_count_steps(scene):
+    """count_steps=True returns the same hits plus a per-lane live step
+    count (shared across a packet's lanes, positive where work happened)."""
+    from tpu_pathtracer.tracer.traverse import pack_stream
+    from tpu_pathtracer.ops.traverse_packet import packet_intersect
+    from tpu_pathtracer.core.vecmath import RAY_MIN, RAY_MAX
+
+    mesh, fb = scene
+    packed = jnp.asarray(pack_stream(fb.prims, fb.meta))
+    orig, d = _random_rays(1024, 29)
+    s0, t0 = packet_intersect(packed, jnp.asarray(orig), jnp.asarray(d),
+                              RAY_MIN, RAY_MAX,
+                              stack_depth=fb.max_depth + 2, interpret=True)
+    s1, t1, ns = packet_intersect(packed, jnp.asarray(orig),
+                                  jnp.asarray(d), RAY_MIN, RAY_MAX,
+                                  stack_depth=fb.max_depth + 2,
+                                  count_steps=True, interpret=True)
+    np.testing.assert_array_equal(np.asarray(s0), np.asarray(s1))
+    np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+    ns = np.asarray(ns)
+    assert ns.min() > 0              # live rays in every packet here
+    # one shared value per packet of tile_sub*128 lanes
+    per = ns.reshape(-1, 8 * 128)
+    assert (per == per[:, :1]).all()

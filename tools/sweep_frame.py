@@ -27,6 +27,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--wh", type=int, default=1024)
+    ap.add_argument("--w", type=int, default=0)
+    ap.add_argument("--h", type=int, default=0)
     ap.add_argument("--frames", type=int, nargs=2, default=(1, 5))
     ap.add_argument("cfgs", nargs="+")
     args = ap.parse_args()
@@ -38,7 +40,8 @@ def main():
     from tpu_pathtracer.tracer.regen import make_regen_integrator
 
     fb, mats, envmap, texture = testobj_scene(cache_dir=".bvh_cache")
-    W = H = args.wh
+    W = args.w or args.wh
+    H = args.h or args.wh
     r = Renderer(fb, mats, envmap=envmap, texture=texture, width=W, height=H)
     cv = jnp.asarray(default_camera(W, H).build_render_camera().as_array())
 

@@ -327,23 +327,12 @@ def _make_step_branch(tab_ref, rays, anyhit, smem_tabs=None):
     return step
 
 
-def _make_step_skip(tab_ref, rays, anyhit, smem_tabs=None):
-    """Fused step wrapped in a dead-packet skip: keeps the branch-free
-    node+tri math (scalar chains overlap across interleaved packets) but
-    makes a finished packet's remaining steps near-free with ONE scalar
-    cond — the middle ground between 'fused' and 'branch'."""
-    inner = _make_step(tab_ref, rays, anyhit, smem_tabs=smem_tabs)
-
-    def step(st, stack_ref, base):
-        def live():
-            return inner(st, stack_ref, base)
-
-        def dead():
-            return st
-
-        return jax.lax.cond(st[0] != SENTINEL, live, dead)
-
-    return step
+# A third variant — the fused step wrapped in one dead-packet
+# lax.cond ("skip") — measured 262.6 ms/frame at 1024^2 vs fused 220.1
+# and was deleted: on the hit-slot-ordered real population, packets of an
+# instance finish together, so the skip almost never fires and the cond
+# only costs. (Applying branch/skip to just the anyhit shadow trace lost
+# too: 225.6 / 228.8 ms.)
 
 
 def _kernel(*refs, anyhit, stack_depth, interleave, sub, smem_table,
@@ -398,8 +387,7 @@ def _kernel(*refs, anyhit, stack_depth, interleave, sub, smem_table,
         if count_steps:
             state = state + (jnp.int32(0),)   # live-step counter
         states.append(state)
-        mk = {"branch": _make_step_branch,
-              "skip": _make_step_skip}.get(step_mode, _make_step)
+        mk = _make_step_branch if step_mode == "branch" else _make_step
         steps.append(mk(tab_ref, rays, anyhit, smem_tabs=smem_tabs))
 
     def cond(c):

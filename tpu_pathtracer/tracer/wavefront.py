@@ -124,16 +124,17 @@ class RenderSettings:
     # hiding; see ops/traverse_packet.py)
     packet_interleave: int = 4
     # traversal step body: "fused" computes node-slab AND triangle-Woop
-    # math every step branch-free (scalar-latency-era design); "branch"
-    # switches on the cursor (dead/node/tri), halving VPU work per step
-    # and making a finished packet's steps near-free at the cost of one
-    # scalar multi-way branch per step (see _make_step_branch); "skip"
-    # keeps the fused math but cond-skips finished packets' steps
+    # math every step branch-free; "branch" switches on the cursor
+    # (dead/node/tri), halving VPU work per step and making a finished
+    # packet's steps near-free at the cost of one scalar multi-way branch
+    # per step. Measured on v5e: branch wins STANDALONE decisively
+    # (coherent 631 -> 988 Mrays/s, incoherent 95 -> 128, oracle-gated
+    # exact) but loses ~6 ms/frame IN SITU on the hit-slot-ordered real
+    # population (fused 220.1 vs branch 225.6+ ms at 1024^2), where
+    # packets of an instance finish together and the branch only costs —
+    # so fused is the integrator default and branch serves
+    # coherent-primary-style workloads.
     packet_step: str = "fused"
-    # override for anyhit (shadow) traces; "" inherits packet_step. Shadow
-    # packets finish early (first hit) and run sparse actives, so the
-    # skip/branch modes can pay off there even if fused wins for extension
-    packet_step_anyhit: str = ""
 
 
 def trace_rays(scene, settings: RenderSettings, orig, raydir, tmin, tmax,
@@ -150,9 +151,7 @@ def trace_rays(scene, settings: RenderSettings, orig, raydir, tmin, tmax,
             stack_depth=settings.stack_depth, active=active,
             tile_sub=settings.packet_tile_sub,
             interleave=settings.packet_interleave,
-            step_mode=(settings.packet_step_anyhit
-                       if anyhit and settings.packet_step_anyhit
-                       else settings.packet_step))
+            step_mode=settings.packet_step)
     return intersect_scene(
         scene["prims"], scene["meta"], scene["num_nodes"], orig, raydir,
         tmin, tmax, anyhit=anyhit, stack_depth=settings.stack_depth,
