@@ -303,7 +303,7 @@ def main():
     # ---------- per-stage wave cost by in-situ duplication ----------
     breakdown = {}
     for stage in ("ext_trace", "shadow_trace", "permute", "scatter",
-                  "sort", "sample_env"):
+                  "sample_env"):
         ms_d, _, _ = frame_cost(1024, 1024, reps=2, dup_stage=stage)
         breakdown[stage] = round(max(ms_d - ms_sq, 0.0) / max(waves_sq, 1.0),
                                  2)

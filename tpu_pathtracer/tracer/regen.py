@@ -369,17 +369,16 @@ def make_regen_integrator(settings: RenderSettings, width, height,
                                 (jnp.maximum(hit_slot, 0) << 3) | oct_,
                                 jnp.int32(2 ** 30))
                 src = jnp.argsort(key, stable=True).astype(jnp.int32)
-                if settings.dup_stage == "sort":
-                    # key+1 has the same argsort but defeats CSE
-                    src = src + 0 * jnp.argsort(key + 1,
-                                                stable=True).astype(jnp.int32)
-                # ONE merged 13-column row-gather moves the whole pool
-                # state: at 1M-row tables the gather cost is per-INDEX and
-                # nearly column-count-free up to 16 columns (measured
-                # 21.7 ms at 10 == 13 == 16 cols on v5e), so the previous
-                # separate float/int gathers paid the ~21 ms base twice.
-                # Int columns ride as bitcast f32 (bit-exact: the bits are
-                # only moved, never computed with).
+                # ONE merged row-gather moves the whole pool state: at
+                # 1M-row tables the gather cost is per-INDEX and nearly
+                # column-count-free up to 16 columns (measured 21.7 ms at
+                # 10 == 13 == 16 cols on v5e). Int columns ride as bitcast
+                # f32 (bit-exact: the bits are only moved, never computed
+                # with). A multi-payload lax.sort carrying all 16 state
+                # columns instead measured 1.6 ms STANDALONE (vs 22.9 for
+                # argsort+take) but LOST in situ — 239.3 vs 215.6 ms/frame
+                # at 1024^2, the in-situ sort dup pricing at ~6 ms/wave
+                # plus downstream slowdowns — so the gather form stays.
                 # pack: medium_id+1 (8b) | active (1b @8) | lbn (8b @16) |
                 # bounce (7b @24); bounce/lbn <= bounce_max <= 127
                 pack = ((out["medium_id"] + 1)
