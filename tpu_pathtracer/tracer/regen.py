@@ -134,6 +134,12 @@ def make_regen_integrator(settings: RenderSettings, width, height,
             py = pyi.astype(jnp.float32)
             rng_new, o_new, d_new = generate_camera_rays(cam_vec, rng_new,
                                                          px, py)
+            if settings.dup_stage == "respawn":
+                # perturbed px defeats CSE; consumed with x0.0
+                r2, o2, d2 = generate_camera_rays(cam_vec, rng_new,
+                                                  px + 1e-6, py)
+                o_new = o_new + 0.0 * (o2 + d2 + r2[:, None].astype(
+                    jnp.float32))
             sel = spawn[:, None]
             orig = jnp.where(sel, o_new, st["orig"])
             raydir = jnp.where(sel, d_new, st["dir"])
