@@ -315,7 +315,10 @@ def main():
     # (not provably irreducible) — the floor is strictly optimistic.
     rays_per_wave_hd = rays_hd / max(waves_hd, 1.0)
     trace_floor_ms = rays_per_wave_hd / (incoh_mrays * 1e3)
-    wave_floor_ms = trace_floor_ms + g_ms + s_ms
+    # scatter floor reflects the deferred design: the flush touches a
+    # half-pool tail window (regen.py _flush), so the irreducible scatter
+    # is half the full-pool rate
+    wave_floor_ms = trace_floor_ms + g_ms + s_ms / 2.0
     frame_floor_hd = waves_hd * wave_floor_ms
     pct_of_floor = frame_floor_hd / ms_hd
     envelope_mrays = rays_hd / frame_floor_hd / 1e3
@@ -333,6 +336,7 @@ def main():
         "rays_per_frame_1080p": round(rays_hd),
         "waves_per_frame_1080p": round(waves_hd, 1),
         "ms_per_frame_1spp": round(ms_sq, 2),          # 1024^2, r01 key
+        "waves_per_frame_sq": round(waves_sq, 2),      # breakdown divisor
         "render_mpaths_per_sec": round(1024 * 1024 / ms_sq / 1e3, 3),
         "wave_breakdown_ms": breakdown,                # per wave at 1024^2
         "pool_gather13_floor_ms": round(g_ms, 2),      # 13-col 1M-row gather
