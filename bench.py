@@ -20,16 +20,18 @@ Prints ONE JSON line whose headline is the WEAKEST of the baseline axes:
   in wall-clock: baseline time = rays(1024 spp) / 100e6).
 
 Extra diagnostics (VERDICT r02 #2/#3): `incoherent_mrays_per_sec` measures
-traversal on the REAL post-bounce ray population (cosine-sampled from the
-primary-hit distribution — the rate the renderer actually experiences on
-bounce/shadow waves); `wave_breakdown_ms` prices each stage of a wave
-in situ by duplication (run the stage twice, consume the copy with x0.0 —
-deleting a stage instead lets XLA DCE shared work); `frame_floor_ms_1080p`
-composes the measured primitives (incoherent trace rate + 13-col pool
-gather + 3-channel scatter-add memory floors) into a hard floor for a
-1-spp 1080p frame, and `pct_of_floor_1080p` says how close the frame is
-to it. `envelope_mrays_per_sec` is the end-to-end rate the floor implies —
-the most this design can reach on this chip.
+traversal on cosine-bounce rays from the primary-hit distribution (kept
+for cross-round comparability); `midframe_mrays_per_sec` chain-traces a
+FROZEN real regen pool after 3 waves — the population the integrator
+actually pays for (measured ~3x harder than the synthetic one);
+`wave_breakdown_ms` prices each stage of a wave in situ by duplication
+(run the stage twice, consume the copy with x0.0 — deleting a stage
+instead lets XLA DCE shared work); `frame_floor_ms_1080p` composes the
+measured primitives (mid-frame trace rate + 13-col pool gather + the
+half-pool windowed flush) into a floor for a 1-spp 1080p frame, and
+`pct_of_floor_1080p` says how close the frame is to it.
+`envelope_mrays_per_sec` is the end-to-end rate the floor implies — the
+most this design can reach on this chip.
 
 Methodology: the tunneled axon runtime adds ~30-60 ms of dispatch+readback
 latency to EVERY host-visible call and its block_until_ready can return
@@ -195,6 +197,24 @@ def main():
     idt = max((it_hi - it_lo) / 24.0, 1e-9)
     incoh_mrays = N / idt / 1e6
 
+    # ------- axis 1c: REAL mid-frame population (frozen regen pool) -------
+    # The synthetic cosine-bounce population above is comparable across
+    # rounds but measured ~3x EASIER than what the integrator actually
+    # traces mid-frame (glass interiors, grazing rays, mixed generations).
+    # Freeze the real pool after 3 waves and chain-trace exactly those
+    # rays; the roofline composes THIS rate.
+    mf_fn = jax.jit(
+        make_regen_integrator(r.settings, W, H, stop_after_waves=3),
+        static_argnames=("n_frames",))
+    mf_pool = mf_fn(r.scene, cam_vec, jnp.uint32(1), jnp.uint32(0),
+                    r.zeros_accum(), n_frames=4)
+    mf_o = jnp.asarray(np.asarray(mf_pool["orig"]))
+    mf_d = jnp.asarray(np.asarray(mf_pool["dir"]))
+    mf_lo = run_m(mf_o, mf_d, 4, d_sub0)
+    mf_hi = run_m(mf_o, mf_d, 28, d_sub0)
+    mf_dt = max((mf_hi - mf_lo) / 24.0, 1e-9)
+    midframe_mrays = mf_o.shape[0] / mf_dt / 1e6
+
     # ---------- memory-system floor microbenches (roofline inputs) ----------
     # The compact pool's state move is ONE 13-col row-gather; image
     # accumulation is three 1-d scatter-adds. Neither can be done with less
@@ -314,7 +334,7 @@ def main():
     # their standalone memory rates. Respawn/shade/env floors are omitted
     # (not provably irreducible) — the floor is strictly optimistic.
     rays_per_wave_hd = rays_hd / max(waves_hd, 1.0)
-    trace_floor_ms = rays_per_wave_hd / (incoh_mrays * 1e3)
+    trace_floor_ms = rays_per_wave_hd / (midframe_mrays * 1e3)
     # scatter floor reflects the deferred design: the flush touches a
     # half-pool tail window (regen.py _flush), so the irreducible scatter
     # is half the full-pool rate
@@ -329,6 +349,7 @@ def main():
         "device": str(jax.devices()[0]),
         "traversal_mrays_per_sec": round(trav_mrays, 2),
         "incoherent_mrays_per_sec": round(incoh_mrays, 2),
+        "midframe_mrays_per_sec": round(midframe_mrays, 2),
         "render_mrays_per_sec_1080p": round(render_mrays, 3),
         "time_to_1024spp_1080p_min": round(tt1024_min, 2),
         "baseline_time_to_1024spp_1080p_min": round(baseline_tt_min, 2),
