@@ -30,6 +30,9 @@ def main():
     ap.add_argument("--w", type=int, default=0)
     ap.add_argument("--h", type=int, default=0)
     ap.add_argument("--frames", type=int, nargs=2, default=(1, 5))
+    ap.add_argument("--demo", default="default",
+                    help="testobj_scene variant (default/subsurface/media/"
+                         "gold/lambertian)")
     ap.add_argument("cfgs", nargs="+")
     args = ap.parse_args()
 
@@ -39,7 +42,8 @@ def main():
     from tpu_pathtracer.tracer.renderer import Renderer
     from tpu_pathtracer.tracer.regen import make_regen_integrator
 
-    fb, mats, envmap, texture = testobj_scene(cache_dir=".bvh_cache")
+    fb, mats, envmap, texture = testobj_scene(cache_dir=".bvh_cache",
+                                              variant=args.demo)
     W = args.w or args.wh
     H = args.h or args.wh
     r = Renderer(fb, mats, envmap=envmap, texture=texture, width=W, height=H)
