@@ -135,3 +135,30 @@ def test_lane_pixel_xy_matches_swizzle_tables():
         ax, ay = lane_pixel_xy(jnp.arange(W * H, dtype=jnp.int32), W, H)
         np.testing.assert_array_equal(np.asarray(ax), px, err_msg=f"{W}x{H}")
         np.testing.assert_array_equal(np.asarray(ay), py, err_msg=f"{W}x{H}")
+
+def test_regen_deferred_full_flush_overflow(tmp_path):
+    """A sky-dominated view kills (nearly) the whole pool in wave 1 —
+    more than the half-pool flush window — forcing the deferred scatter's
+    lax.cond full-pool branch. Radiance must match the classic integrator
+    exactly (nothing dropped, nothing flushed twice)."""
+    mesh = procedural.make_test_scene()
+    fb = load_or_build(mesh, cache_dir=str(tmp_path))
+    mats = [MatDesc(refltype=MAT_DIFF, useTexture=True),
+            MatDesc(refltype=MAT_FRESNEL), MatDesc(refltype=MAT_GLASS),
+            MatDesc(refltype=MAT_REFL)]
+    env = procedural.make_sky_envmap(128, 64)
+    tex = procedural.make_checker_texture(64)
+    W = H = 48
+    cam = default_camera(W, H, center=(0.0, 30.0, 0.0))  # look at the sky
+    rc = cam.build_render_camera()
+    out = {}
+    for mode in ("bounce", "regen"):
+        r = Renderer(fb, mats, envmap=env, texture=tex, width=W, height=H,
+                     settings=RenderSettings(integrator=mode))
+        out[mode] = np.asarray(r.render_frames(r.zeros_accum(), rc, 1, 2))
+    assert np.isfinite(out["regen"]).all()
+    d = np.abs(out["bounce"] - out["regen"])
+    assert d.max() < 5e-3
+    assert out["regen"].mean() == pytest.approx(out["bounce"].mean(),
+                                                rel=1e-4)
+    assert out["regen"].mean() > 0.1            # sky is actually bright
