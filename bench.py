@@ -27,8 +27,9 @@ actually pays for (measured ~3x harder than the synthetic one);
 `wave_breakdown_ms` prices each stage of a wave in situ by duplication
 (run the stage twice, consume the copy with x0.0 — deleting a stage
 instead lets XLA DCE shared work); `frame_floor_ms_1080p` composes the
-measured primitives (mid-frame trace rate + 13-col pool gather + the
-half-pool windowed flush) into a floor for a 1-spp 1080p frame, and
+measured primitives (mid-frame trace rate + 13-col pool gather + one
+image-scatter index per path death — the ring flush's irreducible
+minimum) into a floor for a 1-spp 1080p frame, and
 `pct_of_floor_1080p` says how close the frame is to it.
 `envelope_mrays_per_sec` is the end-to-end rate the floor implies — the
 most this design can reach on this chip.
@@ -323,7 +324,7 @@ def main():
     # ---------- per-stage wave cost by in-situ duplication ----------
     breakdown = {}
     for stage in ("ext_trace", "shadow_trace", "permute", "scatter",
-                  "sample_env"):
+                  "sample_env", "respawn"):
         ms_d, _, _ = frame_cost(1024, 1024, reps=2, dup_stage=stage)
         breakdown[stage] = round(max(ms_d - ms_sq, 0.0) / max(waves_sq, 1.0),
                                  2)
@@ -335,10 +336,13 @@ def main():
     # (not provably irreducible) — the floor is strictly optimistic.
     rays_per_wave_hd = rays_hd / max(waves_hd, 1.0)
     trace_floor_ms = rays_per_wave_hd / (midframe_mrays * 1e3)
-    # scatter floor reflects the deferred design: the flush touches a
-    # half-pool tail window (regen.py _flush), so the irreducible scatter
-    # is half the full-pool rate
-    wave_floor_ms = trace_floor_ms + g_ms + s_ms / 2.0
+    # scatter floor: every path dies exactly once, so image accumulation
+    # needs >= one scattered index per sample (the ring flush approaches
+    # this at ~1.14x; s_ms is the measured cost of pool_rows indices x3
+    # channels) — N_hd samples per 1-spp frame, amortized per wave
+    n_hd = 1920 * 1080
+    scatter_floor_wave_ms = s_ms * (n_hd / pool_rows) / max(waves_hd, 1.0)
+    wave_floor_ms = trace_floor_ms + g_ms + scatter_floor_wave_ms
     frame_floor_hd = waves_hd * wave_floor_ms
     pct_of_floor = frame_floor_hd / ms_hd
     envelope_mrays = rays_hd / frame_floor_hd / 1e3

@@ -136,11 +136,50 @@ def test_lane_pixel_xy_matches_swizzle_tables():
         np.testing.assert_array_equal(np.asarray(ax), px, err_msg=f"{W}x{H}")
         np.testing.assert_array_equal(np.asarray(ay), py, err_msg=f"{W}x{H}")
 
-def test_regen_deferred_full_flush_overflow(tmp_path):
+def test_regen_ring_scatter_matches_deferred(tmp_path):
+    """scatter_mode="ring" banks dead tails in a cross-wave ring and
+    scatters only when the ring nears full — per-pixel sums must match the
+    per-wave deferred flush to float order, with identical wave/ray counts.
+    The capped pool forces many waves (several ring appends + mid-loop
+    pre-flushes + the post-loop drain all execute)."""
+    import jax
+    import jax.numpy as jnp
+    from tpu_pathtracer.tracer.regen import make_regen_integrator
+
+    mesh = procedural.make_test_scene()
+    fb = load_or_build(mesh, cache_dir=str(tmp_path))
+    mats = [MatDesc(refltype=MAT_DIFF, useTexture=True),
+            MatDesc(refltype=MAT_GLASS),
+            MatDesc(refltype=MAT_REFL)]
+    env = procedural.make_sky_envmap(128, 64)
+    W = H = 48
+    rc = default_camera(W, H).build_render_camera()
+    out = {}
+    for mode, pool in [("deferred", 0), ("ring", 0), ("ring", 512)]:
+        r = Renderer(fb, mats, envmap=env, width=W, height=H, settings=None)
+        st = dataclasses.replace(r.settings, scatter_mode=mode,
+                                 pool_lanes=pool)
+        fn = jax.jit(make_regen_integrator(st, W, H, with_stats=True),
+                     static_argnames=("n_frames",))
+        acc, waves, rays = fn(r.scene, jnp.asarray(rc.as_array()),
+                              jnp.uint32(1), jnp.uint32(0), r.zeros_accum(),
+                              n_frames=2)
+        out[(mode, pool)] = (np.asarray(acc), int(waves), float(rays))
+    ref = out[("deferred", 0)]
+    for k, v in out.items():
+        d = np.abs(v[0] - ref[0])
+        assert d.max() < 5e-3 and d.mean() < 1e-5, k
+        assert v[2] == ref[2], k                 # same path segments
+    assert out[("ring", 0)][1] == ref[1]         # same wave count
+
+
+@pytest.mark.parametrize("scatter_mode", ["deferred", "ring"])
+def test_regen_deferred_full_flush_overflow(tmp_path, scatter_mode):
     """A sky-dominated view kills (nearly) the whole pool in wave 1 —
     more than the half-pool flush window — forcing the deferred scatter's
-    lax.cond full-pool branch. Radiance must match the classic integrator
-    exactly (nothing dropped, nothing flushed twice)."""
+    lax.cond full-pool branch (for "ring", the ring-bypassing direct
+    fallback). Radiance must match the classic integrator exactly (nothing
+    dropped, nothing flushed twice)."""
     mesh = procedural.make_test_scene()
     fb = load_or_build(mesh, cache_dir=str(tmp_path))
     mats = [MatDesc(refltype=MAT_DIFF, useTexture=True),
@@ -154,7 +193,8 @@ def test_regen_deferred_full_flush_overflow(tmp_path):
     out = {}
     for mode in ("bounce", "regen"):
         r = Renderer(fb, mats, envmap=env, texture=tex, width=W, height=H,
-                     settings=RenderSettings(integrator=mode))
+                     settings=RenderSettings(integrator=mode,
+                                             scatter_mode=scatter_mode))
         out[mode] = np.asarray(r.render_frames(r.zeros_accum(), rc, 1, 2))
     assert np.isfinite(out["regen"]).all()
     d = np.abs(out["bounce"] - out["regen"])

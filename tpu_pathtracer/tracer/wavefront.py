@@ -102,11 +102,18 @@ class RenderSettings:
     # measured column-count-flat up to 16 on v5e) and scatter-adds only
     # the compacted dead TAIL window (pool/4 indices) when paths finish,
     # with a lax.cond full-pool flush on the rare wave where more than
-    # pool/4 lanes die. "wave" scatter-adds every lane's contribution
-    # every wave (round-2 behavior; the scatter is per-index, so it costs
-    # the full pool width each wave). Deferral needs the compaction tail
+    # pool/4 lanes die. "ring" (default) goes one step further: the dead
+    # tail window is COPIED (contiguous dynamic_update_slice — bandwidth,
+    # not per-index) into a 4x-pool-sized cross-wave ring and the
+    # per-index image scatter runs only when the ring can't take another
+    # window, so scattered indices track actual deaths (~1.14x/death vs
+    # ~1.8x for the per-wave window; measured 218.9 -> 215.1 ms/frame at
+    # 1024^2 on (32,4) packets, 214.2 -> 206.5 on (8,8)). "wave"
+    # scatter-adds every lane's contribution every wave (round-2
+    # behavior; the scatter is per-index, so it costs the full pool width
+    # each wave). Deferral/ring need the compaction tail
     # (regen_order="compact"); "wave" is used otherwise.
-    scatter_mode: str = "deferred"
+    scatter_mode: str = "ring"
     distant_light_L: tuple = (1.2, 1.2, 1.2)      # src/renderkernel.cu:521
     distant_light_dir: tuple = (0.0, 1.3, -3.6)   # src/renderkernel.cu:522
     # traversal backend: "packet" = Pallas packet kernel (TPU),
@@ -114,15 +121,20 @@ class RenderSettings:
     traversal: str = "auto"
     # sublane rows per packet (rays = x128). The step cost is scalar-bound,
     # so fatter packets cut total steps; with the compact pool the larger
-    # union footprint stays cheap. Measured end-to-end on v5e (1024^2 demo,
-    # compact pool, ms per 1-spp frame): VMEM-table era (32,4) 474,
-    # (64,2) 461; SMEM-table era (scalar loads make the step cheaper, so
-    # the packet-size optimum shifts down): (16,4) 337, (32,4) 312,
-    # (64,2) 363, (8,8) 335.
-    packet_tile_sub: int = 32
+    # union footprint stays cheap. The optimum tracks the pool's packet
+    # coherence: SMEM-table era with octant ordering favored (32,4)
+    # ((16,4) 337, (32,4) 312, (64,2) 363, (8,8) 335 ms/frame at 1024^2);
+    # the round-3 exact-hit-slot survivor ordering shifts it to (8,8) —
+    # (32,4) 219.7, (8,8) 215.0, (16,8) 224.7, (32,1) 247.8, (64,1)
+    # 252.2, (128,1) 302.5; at 1080p (8,8) 562.7 vs (32,4) 572.3.
+    # Narrower packets waste fewer union-footprint steps once packets are
+    # this coherent, and 8-way interleave still hides the scalar chain.
+    packet_tile_sub: int = 8
     # independent packets interleaved per kernel instance (scalar-latency
-    # hiding; see ops/traverse_packet.py)
-    packet_interleave: int = 4
+    # hiding; see ops/traverse_packet.py — interleave=1 kills the +51%
+    # interleave tax by construction but loses MORE to exposed scalar
+    # latency: measured numbers above)
+    packet_interleave: int = 8
     # traversal step body: "fused" computes node-slab AND triangle-Woop
     # math every step branch-free; "branch" switches on the cursor
     # (dead/node/tri), halving VPU work per step and making a finished
