@@ -86,6 +86,17 @@ def main():
                  100.0 * (paid - live_sum) / max(live_sum, 1),
                  t_trace * 1e3, t_trace / max(joint.sum(), 1) * 1e9,
                  t_trace / max(paid, 1) * 1e9), flush=True)
+        # what would an ORACLE mate assignment pay? (sort packets by their
+        # actual step count, group consecutive il as mates: equal-cost
+        # mates minimize il*max). Bounds any predictor-based rebalancing —
+        # if even the oracle barely helps, the tail is BETWEEN instances,
+        # not within them, and rebalancing is a dead end.
+        oracle = np.sort(per_lane)[::-1].reshape(-1, il)
+        paid_o = oracle.max(axis=1).sum() * il
+        print("  oracle mate assignment would pay %.2fM (+%.0f%% tax)"
+              % (paid_o / 1e6,
+                 100.0 * (paid_o - live_sum) / max(live_sum, 1)),
+              flush=True)
 
 
 if __name__ == "__main__":

@@ -35,6 +35,14 @@ from .bssrdf_shade import bssrdf_scatter
 from .renderer import generate_camera_rays, lane_pixel_xy
 
 
+# ring capacity as a multiple of the pool: scattered indices per death =
+# F/(F-1/2); 4 (=1.14x) beat 1 (=2x, ties the windowed flush) by 3.8-7.7
+# ms/frame at 1024^2, and 8 (=1.07x) measured WORSE (211.9 vs 206.8 —
+# the rarer flush is bigger and the 2x buffer hurts more than the 0.07x
+# index saving), so 4 stays
+_RING_FACTOR = 4
+
+
 def make_regen_integrator(settings: RenderSettings, width, height,
                           with_stats=False, stop_after_waves=0):
     """Returns integrate_frames(scene, cam_vec, frame0, lane0, accum,
@@ -105,7 +113,7 @@ def make_regen_integrator(settings: RenderSettings, width, height,
             # windowed flush (R=P ties it at ~1.8x — measured 218.7 vs
             # 218.9 ms at 1024^2; R=4P gives ~1.14x).
             # Cols: L r/g/b + bitcast pixel.
-            st["ring"] = jnp.zeros((4 * P, 4), jnp.float32)
+            st["ring"] = jnp.zeros((_RING_FACTOR * P, 4), jnp.float32)
             st["fill"] = jnp.int32(0)
 
         def cond(st):
