@@ -206,3 +206,48 @@ def test_packet_count_steps(scene):
     # one shared value per packet of tile_sub*128 lanes
     per = ns.reshape(-1, 8 * 128)
     assert (per == per[:, :1]).all()
+
+
+def test_packet_queue_matches_fixed(scene):
+    """The work-queue kernel (queue_k packets per instance, greedy slot
+    claiming — ops/traverse_packet._queue_kernel) must be bit-identical to
+    the fixed-grouping kernel for closest-hit, and class-identical for
+    anyhit, under sparse active masks including a fully-dead packet and a
+    padded tail. (bench tooling re-gates on the real device — interpret
+    mode does not catch Mosaic miscompiles.)"""
+    from tpu_pathtracer.tracer.traverse import pack_stream
+    from tpu_pathtracer.ops.traverse_packet import packet_intersect
+    from tpu_pathtracer.core.vecmath import RAY_MIN, RAY_MAX
+
+    mesh, fb = scene
+    packed = jnp.asarray(pack_stream(fb.prims, fb.meta))
+    n = 5 * 1024 + 512          # forces tail padding at queue_k=4
+    orig, d = _random_rays(n, 31)
+    act = (np.random.default_rng(9).uniform(size=n) > 0.3).astype(np.int32)
+    act[1024:2048] = 0          # one fully-dead packet
+    act = jnp.asarray(act)
+    sd = fb.max_depth + 2
+    for anyhit in (False, True):
+        s0, t0 = packet_intersect(packed, jnp.asarray(orig), jnp.asarray(d),
+                                  RAY_MIN, RAY_MAX, anyhit=anyhit,
+                                  stack_depth=sd, tile_sub=8, interleave=2,
+                                  active=act, interpret=True)
+        s1, t1, ns = packet_intersect(packed, jnp.asarray(orig),
+                                      jnp.asarray(d), RAY_MIN, RAY_MAX,
+                                      anyhit=anyhit, stack_depth=sd,
+                                      tile_sub=8, interleave=2, queue_k=4,
+                                      active=act, count_steps=True,
+                                      interpret=True)
+        if anyhit:
+            # anyhit may surface a different (any) hit; the lit/shadow
+            # classification must agree
+            np.testing.assert_array_equal(np.asarray(t0) > 1e10,
+                                          np.asarray(t1) > 1e10)
+        else:
+            np.testing.assert_array_equal(np.asarray(s0), np.asarray(s1))
+            np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+            ns = np.asarray(ns)
+            full = (n // 1024) * 1024
+            per = ns[:full].reshape(-1, 8 * 128)
+            assert (per == per[:, :1]).all()
+            assert per[1, 0] == 1       # dead packet burns exactly 1 step

@@ -47,9 +47,11 @@ SENTINEL = np.int32(0x76543210)
 F32_BIG = np.float32(1e30)
 
 
-def _make_step(tab_ref, rays, anyhit, smem_tabs=None):
-    """Returns step(state, stack_base, stack_ref) -> state for ONE packet.
-    rays: dict of per-lane (SUB,128) arrays + precomputed idir/ood.
+def _make_step(tab_ref, anyhit, smem_tabs=None):
+    """Returns step(state, stack_ref, base, rays) -> state for ONE packet.
+    rays: dict of per-lane (SUB,128) arrays + precomputed idir/ood — passed
+    per call so the queue kernel can swap ray sets when a slot claims a new
+    packet.
 
     Near-child ordering is by per-step entry-distance min-reductions (two
     full-packet cross-lane reductions per node step). Two cheaper-step
@@ -57,14 +59,14 @@ def _make_step(tab_ref, rays, anyhit, smem_tabs=None):
     built, measured net-negative or par end-to-end, and deleted — numbers
     in ARCHITECTURE.md: the step is scalar-extraction-throughput-bound, not
     reduction-bound."""
-    ox, oy, oz = rays["ox"], rays["oy"], rays["oz"]
-    dx, dy, dz = rays["dx"], rays["dy"], rays["dz"]
-    idx_, idy, idz = rays["idx"], rays["idy"], rays["idz"]
-    oodx, oody, oodz = rays["oodx"], rays["oody"], rays["oodz"]
-    tmin = rays["tmin"]
-    act = rays["act"]
 
-    def step(st, stack_ref, base):
+    def step(st, stack_ref, base, rays):
+        ox, oy, oz = rays["ox"], rays["oy"], rays["oz"]
+        dx, dy, dz = rays["dx"], rays["dy"], rays["dz"]
+        idx_, idy, idz = rays["idx"], rays["idy"], rays["idz"]
+        oodx, oody, oodz = rays["oodx"], rays["oody"], rays["oodz"]
+        tmin = rays["tmin"]
+        act = rays["act"]
         cur, sp, hit_slot, hit_t, done = st  # done: int32 lanes (0/1)
         alive = cur != SENTINEL
         is_node = alive & (cur >= 0)
@@ -361,6 +363,8 @@ def _kernel(*refs, anyhit, stack_depth, interleave, sub, smem_table,
 
     states = []
     steps = []
+    rays_l = []
+    fused_step = _make_step(tab_ref, anyhit, smem_tabs=smem_tabs)
     for g in range(G):
         sl = pl.ds(g * sub, sub)
         rays = {}
@@ -387,8 +391,10 @@ def _kernel(*refs, anyhit, stack_depth, interleave, sub, smem_table,
         if count_steps:
             state = state + (jnp.int32(0),)   # live-step counter
         states.append(state)
-        mk = _make_step_branch if step_mode == "branch" else _make_step
-        steps.append(mk(tab_ref, rays, anyhit, smem_tabs=smem_tabs))
+        rays_l.append(rays)
+        if step_mode == "branch":
+            steps.append(_make_step_branch(tab_ref, rays, anyhit,
+                                           smem_tabs=smem_tabs))
 
     def cond(c):
         alive = c[0][0] != SENTINEL
@@ -399,7 +405,11 @@ def _kernel(*refs, anyhit, stack_depth, interleave, sub, smem_table,
     def body(c):
         out = []
         for g in range(G):
-            new = steps[g](c[g][:5], stack_ref, g * stack_depth)
+            if step_mode == "branch":
+                new = steps[g](c[g][:5], stack_ref, g * stack_depth)
+            else:
+                new = fused_step(c[g][:5], stack_ref, g * stack_depth,
+                                 rays_l[g])
             if count_steps:
                 new = new + (c[g][5]
                              + (c[g][0] != SENTINEL).astype(jnp.int32),)
@@ -417,6 +427,146 @@ def _kernel(*refs, anyhit, stack_depth, interleave, sub, smem_table,
             nst_ref[sl, :] = jnp.full((sub, 128), final[g][5], jnp.int32)
 
 
+def _queue_kernel(*refs, anyhit, stack_depth, interleave, sub, smem_table,
+                  queue_k, count_steps=False):
+    """Work-queue variant of _kernel: one instance owns `queue_k`
+    consecutive packets and `interleave` step slots; when a slot's packet
+    finishes it CLAIMS the instance's next unclaimed packet (greedy list
+    scheduling), so the while-loop's joint-max straggler tax is paid once
+    per instance instead of once per `interleave` packets. Offline on the
+    real mid-frame population (tools/eval_rebalance_offline.py) this pays
+    +14% over live steps at queue_k=64 and +7% at 128, vs +73-89% for the
+    fixed grouping — packet step counts are heavy-tailed (p50 186 /
+    p95 1058 / max 2053) and no compaction-time predictor of them exists
+    (63-72% of pool lanes are respawned fresh every wave).
+
+    Design notes (v2 — the first cut carried each slot's 15 ray tiles as
+    while-loop state and re-claimed under a lax.cond; Mosaic shuttles
+    ~480 KB of carries through every iteration and it measured ~2.1x the
+    fixed kernel's per-step cost, losing end to end): rays are re-read
+    from the input refs EVERY step through dynamic slices at the slot's
+    packet cursor (idir/ood arrive precomputed as extra inputs so no
+    per-step divides), the claim is branch-free scalar logic, and only
+    the result store for a just-finished packet sits under a pl.when
+    taken on ~2-3% of iterations."""
+    if smem_table:
+        (tab_smem, meta_smem, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
+         dz_ref, idx_ref, idy_ref, idz_ref, oodx_ref, oody_ref, oodz_ref,
+         tmin_ref, tmax_ref, act_ref, slot_ref, t_ref, *rest) = refs
+        tab_ref = None
+        smem_tabs = (tab_smem, meta_smem)
+    else:
+        (tab_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+         idx_ref, idy_ref, idz_ref, oodx_ref, oody_ref, oodz_ref,
+         tmin_ref, tmax_ref, act_ref, slot_ref, t_ref, *rest) = refs
+        smem_tabs = None
+    if count_steps:
+        nst_ref, stack_ref = rest
+    else:
+        (stack_ref,) = rest
+    G = interleave
+    K = queue_k
+
+    def load_rays(pk):
+        """pk: scalar packet index within the block (dynamic)."""
+        sl = pl.ds(pk * sub, sub)
+        return {
+            "ox": ox_ref[sl, :], "oy": oy_ref[sl, :], "oz": oz_ref[sl, :],
+            "dx": dx_ref[sl, :], "dy": dy_ref[sl, :], "dz": dz_ref[sl, :],
+            "idx": idx_ref[sl, :], "idy": idy_ref[sl, :],
+            "idz": idz_ref[sl, :], "oodx": oodx_ref[sl, :],
+            "oody": oody_ref[sl, :], "oodz": oodz_ref[sl, :],
+            "tmin": tmin_ref[sl, :], "act": act_ref[sl, :] != 0,
+        }
+
+    step = _make_step(tab_ref, anyhit, smem_tabs=smem_tabs)
+
+    slots0 = []
+    for g in range(G):
+        sl = pl.ds(g * sub, sub)
+        # cur starts at 0 even for all-inactive packets: they burn one
+        # step, pop an empty stack and "just finish", which is what
+        # triggers the result store and the next claim — a SENTINEL
+        # start would wedge the slot (no finish edge, no claim). ht
+        # starts at plain tmax (not the fixed kernel's where(act, tmax,
+        # tmin)): inactive lanes never vote and the store masks them to
+        # tmax anyway, so outputs are bit-identical.
+        st = (jnp.int32(g), jnp.int32(0), jnp.int32(0),
+              jnp.full((sub, 128), -1, jnp.int32), tmax_ref[sl, :],
+              jnp.zeros((sub, 128), jnp.int32))
+        if count_steps:
+            st = st + (jnp.int32(0),)
+        slots0.append(st)
+    carry0 = tuple(slots0) + (jnp.int32(G),)
+
+    def cond(c):
+        alive = c[0][1] != SENTINEL
+        for g in range(1, G):
+            alive = alive | (c[g][1] != SENTINEL)
+        return alive
+
+    def body(c):
+        nxt = c[G]
+        stepped = []
+        fins = []
+        acts = []
+        for g in range(G):
+            sl = c[g]
+            pkt, cur = sl[0], sl[1]
+            rays = load_rays(pkt)
+            new = step(sl[1:6], stack_ref, g * stack_depth, rays)
+            st = (pkt,) + new
+            if count_steps:
+                st = st + (sl[6] + (cur != SENTINEL).astype(jnp.int32),)
+            stepped.append(st)
+            acts.append(rays["act"])
+            fins.append((new[0] == SENTINEL) & (cur != SENTINEL))
+        any_fin = fins[0]
+        for g in range(1, G):
+            any_fin = any_fin | fins[g]
+
+        # result store for just-finished packets (masked RMW; rare)
+        @pl.when(any_fin)
+        def _():
+            for g in range(G):
+                sl = stepped[g]
+                out = pl.ds(sl[0] * sub, sub)
+                tv = jnp.where(acts[g], sl[4], tmax_ref[out, :])
+                slot_ref[out, :] = jnp.where(fins[g], sl[3],
+                                             slot_ref[out, :])
+                t_ref[out, :] = jnp.where(fins[g], tv, t_ref[out, :])
+                if count_steps:
+                    nst_ref[out, :] = jnp.where(
+                        fins[g], jnp.full((sub, 128), sl[6], jnp.int32),
+                        nst_ref[out, :])
+
+        # branch-free claim: scalar cursor bump + state re-init selects.
+        # The tmax re-read at the (possibly new) packet runs every
+        # iteration — when no claim happened it reloads the old packet's
+        # tmax and the where discards it.
+        out = []
+        for g in range(G):
+            sl = stepped[g]
+            want = fins[g] & (nxt < K)
+            pkt = jnp.where(want, nxt, sl[0])
+            nxt = nxt + want.astype(jnp.int32)
+            tmax_new = tmax_ref[pl.ds(pkt * sub, sub), :]
+            st = (pkt,
+                  jnp.where(want, jnp.int32(0), sl[1]),
+                  jnp.where(want, jnp.int32(0), sl[2]),
+                  jnp.where(want, jnp.full((sub, 128), -1, jnp.int32),
+                            sl[3]),
+                  jnp.where(want, tmax_new, sl[4]),
+                  jnp.where(want, jnp.zeros((sub, 128), jnp.int32),
+                            sl[5]))
+            if count_steps:
+                st = st + (jnp.where(want, jnp.int32(0), sl[6]),)
+            out.append(st)
+        return tuple(out) + (nxt,)
+
+    jax.lax.while_loop(cond, body, carry0)
+
+
 # SMEM is 1 MiB on v5e (measured empirically: a 512 KiB scalar scratch
 # compiles, 1 MiB fails; a too-big prefetched operand reports
 # "would exceed memory (size=1048576)"). Budget well under that for the
@@ -427,7 +577,7 @@ _SMEM_TABLE_BUDGET_BYTES = 700_000
 def packet_intersect(packed, orig, raydir, tmin, tmax, anyhit=False,
                      stack_depth=64, active=None, tile_sub=8, interleave=4,
                      table_mem="auto", step_mode="fused", count_steps=False,
-                     interpret=False):
+                     queue_k=0, interpret=False):
     """Packet-traverse rays against the packed (K,16) primitive stream.
 
     orig/raydir: [N,3]; N is padded to tile_sub*interleave*128 internally.
@@ -441,6 +591,11 @@ def packet_intersect(packed, orig, raydir, tmin, tmax, anyhit=False,
     whole-kernel throughput vs the VMEM path on v5e), "vmem" uses the
     broadcast-row + extraction path, "auto" picks smem whenever the
     flattened table fits the SMEM budget.
+
+    queue_k > interleave switches to the work-queue kernel: each instance
+    owns queue_k consecutive packets and `interleave` step slots that
+    claim packets greedily — see _queue_kernel. queue_k <= interleave (or
+    0) keeps the fixed grouping.
     """
     N = orig.shape[0]
     LANES = 128
@@ -456,10 +611,14 @@ def packet_intersect(packed, orig, raydir, tmin, tmax, anyhit=False,
             "table_mem='smem': packed table is %d bytes, over the %d-byte "
             "SMEM budget — use table_mem='auto' or 'vmem'"
             % (table_bytes, _SMEM_TABLE_BUDGET_BYTES))
-    T = tile_sub * LANES * interleave
+    queue = queue_k > interleave
+    if queue and step_mode != "fused":
+        raise ValueError("queue_k requires step_mode='fused'")
+    pkts_per_tile = queue_k if queue else interleave
+    T = tile_sub * LANES * pkts_per_tile
     n_tiles = -(-N // T)
     Np = n_tiles * T
-    rows = n_tiles * tile_sub * interleave
+    rows = n_tiles * tile_sub * pkts_per_tile
 
     def prep(x, fill):
         x = jnp.asarray(x)
@@ -472,13 +631,37 @@ def packet_intersect(packed, orig, raydir, tmin, tmax, anyhit=False,
     act = (jnp.ones((N,), jnp.int32) if active is None
            else active.astype(jnp.int32))
 
-    args = (
-        prep(orig[:, 0], 0.0), prep(orig[:, 1], 0.0), prep(orig[:, 2], 0.0),
-        prep(raydir[:, 0], 1.0), prep(raydir[:, 1], 1.0), prep(raydir[:, 2], 1.0),
-        prep(tmin_a, 0.0), prep(tmax_a, 0.0), prep(act, 0),
-    )
+    if queue:
+        # the queue kernel re-reads rays per step through a dynamic packet
+        # cursor, so idir/ood arrive precomputed (same ooeps clamp as the
+        # in-kernel inv(); XLA fuses this into the pad/reshape) instead of
+        # recomputing 3 divides per slot per step
+        ooeps = jnp.float32(2.0 ** -80)
 
-    blk = tile_sub * interleave
+        def inv_a(d):
+            safe = jnp.where(jnp.abs(d) > ooeps, d,
+                             jnp.where(d >= 0, ooeps, -ooeps))
+            return 1.0 / safe
+
+        ide = tuple(inv_a(raydir[:, i]) for i in range(3))
+        args = (
+            prep(orig[:, 0], 0.0), prep(orig[:, 1], 0.0),
+            prep(orig[:, 2], 0.0),
+            prep(raydir[:, 0], 1.0), prep(raydir[:, 1], 1.0),
+            prep(raydir[:, 2], 1.0),
+            prep(ide[0], 1.0), prep(ide[1], 1.0), prep(ide[2], 1.0),
+            prep(orig[:, 0] * ide[0], 0.0), prep(orig[:, 1] * ide[1], 0.0),
+            prep(orig[:, 2] * ide[2], 0.0),
+            prep(tmin_a, 0.0), prep(tmax_a, 0.0), prep(act, 0),
+        )
+    else:
+        args = (
+            prep(orig[:, 0], 0.0), prep(orig[:, 1], 0.0), prep(orig[:, 2], 0.0),
+            prep(raydir[:, 0], 1.0), prep(raydir[:, 1], 1.0), prep(raydir[:, 2], 1.0),
+            prep(tmin_a, 0.0), prep(tmax_a, 0.0), prep(act, 0),
+        )
+
+    blk = tile_sub * pkts_per_tile
     out_shape = [
         jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
         jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
@@ -486,11 +669,19 @@ def packet_intersect(packed, orig, raydir, tmin, tmax, anyhit=False,
     if count_steps:
         out_shape.append(jax.ShapeDtypeStruct((rows, LANES), jnp.int32))
     n_out = len(out_shape)
-    kern = functools.partial(_kernel, anyhit=anyhit,
-                             stack_depth=stack_depth,
-                             interleave=interleave, sub=tile_sub,
-                             smem_table=(table_mem == "smem"),
-                             step_mode=step_mode, count_steps=count_steps)
+    if queue:
+        kern = functools.partial(_queue_kernel, anyhit=anyhit,
+                                 stack_depth=stack_depth,
+                                 interleave=interleave, sub=tile_sub,
+                                 smem_table=(table_mem == "smem"),
+                                 queue_k=queue_k, count_steps=count_steps)
+    else:
+        kern = functools.partial(_kernel, anyhit=anyhit,
+                                 stack_depth=stack_depth,
+                                 interleave=interleave, sub=tile_sub,
+                                 smem_table=(table_mem == "smem"),
+                                 step_mode=step_mode,
+                                 count_steps=count_steps)
     if table_mem == "smem":
         # flattened f32 box/woop columns + i32 meta as scalar-prefetch
         # operands (2-D SMEM operands get lane-padded to 128 columns —
@@ -503,29 +694,41 @@ def packet_intersect(packed, orig, raydir, tmin, tmax, anyhit=False,
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(n_tiles,),
-            in_specs=[ray_spec] * 9,
+            in_specs=[ray_spec] * len(args),
             out_specs=[ray_spec] * n_out,
             scratch_shapes=[pltpu.SMEM((stack_depth * interleave,),
                                        jnp.int32)],
         )
+        # queue blocks hold queue_k packets x 15 operands and overflow the
+        # default 16M scoped-VMEM budget at queue_k >= 128; v5e has 128M
+        # physical VMEM, so raise the cap for big-queue configs
+        cp = {}
+        if (queue and blk * LANES * 4 * (len(args) + n_out) * 2 > 15 << 20):
+            cp = {"compiler_params": pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024)}
         outs = pl.pallas_call(
             kern, grid_spec=grid_spec, out_shape=out_shape,
-            interpret=interpret,
+            interpret=interpret, **cp,
         )(tab_flat, meta_flat, *args)
     else:
         ray_spec = pl.BlockSpec((blk, LANES), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM)
         tab_spec = pl.BlockSpec(packed.shape, lambda i: (0, 0),
                                 memory_space=pltpu.VMEM)
+        cp = {}
+        if (queue and (blk * LANES * 4 * (len(args) + n_out) * 2
+                       + packed.size * 4) > 15 << 20):
+            cp = {"compiler_params": pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024)}
         outs = pl.pallas_call(
             kern,
             grid=(n_tiles,),
-            in_specs=[tab_spec] + [ray_spec] * 9,
+            in_specs=[tab_spec] + [ray_spec] * len(args),
             out_specs=[ray_spec] * n_out,
             out_shape=out_shape,
             scratch_shapes=[pltpu.SMEM((stack_depth * interleave,),
                                        jnp.int32)],
-            interpret=interpret,
+            interpret=interpret, **cp,
         )(packed, *args)
     slot, t = outs[0], outs[1]
     if count_steps:

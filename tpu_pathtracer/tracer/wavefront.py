@@ -147,6 +147,17 @@ class RenderSettings:
     # so fused is the integrator default and branch serves
     # coherent-primary-style workloads.
     packet_step: str = "fused"
+    # work-queue traversal (ops/traverse_packet._queue_kernel): each kernel
+    # instance owns packet_queue_k consecutive packets and `interleave`
+    # step slots that greedily claim the next packet when theirs finishes,
+    # so the straggler tax is paid once per instance instead of once per
+    # interleave group. Offline on the real mid-frame population the tax
+    # drops from +73-89% (fixed grouping) to +14% at k=64 / +7% at k=128
+    # (tools/eval_rebalance_offline.py; packet step counts are heavy-tailed
+    # and unpredictable at compaction time — 63-72% of lanes respawn fresh
+    # every wave, so rebalancing-by-predictor is impossible and the queue
+    # is the structural fix). <= interleave keeps the fixed grouping.
+    packet_queue_k: int = 0
 
 
 def trace_rays(scene, settings: RenderSettings, orig, raydir, tmin, tmax,
@@ -163,7 +174,8 @@ def trace_rays(scene, settings: RenderSettings, orig, raydir, tmin, tmax,
             stack_depth=settings.stack_depth, active=active,
             tile_sub=settings.packet_tile_sub,
             interleave=settings.packet_interleave,
-            step_mode=settings.packet_step)
+            step_mode=settings.packet_step,
+            queue_k=settings.packet_queue_k)
     return intersect_scene(
         scene["prims"], scene["meta"], scene["num_nodes"], orig, raydir,
         tmin, tmax, anyhit=anyhit, stack_depth=settings.stack_depth,
