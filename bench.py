@@ -94,32 +94,35 @@ def main():
     # about the sub=64 instance the regen integrator runs)
     from tpu_pathtracer.tracer.wavefront import RenderSettings
     _defaults = RenderSettings()
-    gate_cfgs = {(8, 4, "auto"), (16, 4, "auto"),
-                 (_defaults.packet_tile_sub, _defaults.packet_interleave,
-                  "auto"),
+    _d_cfg = (_defaults.packet_tile_sub, _defaults.packet_interleave)
+    _d_qk = _defaults.packet_queue_k
+    gate_cfgs = {(8, 4, "auto", 0), (16, 4, "auto", 0),
+                 _d_cfg + ("auto", 0),
+                 # the integrator default (work-queue kernel when
+                 # packet_queue_k > interleave) is its own Mosaic program
+                 _d_cfg + ("auto", _d_qk),
                  # the VMEM fallback kernel (scenes with tables > the SMEM
                  # budget run this) is a distinct Mosaic specialization —
-                 # gate it too
-                 (_defaults.packet_tile_sub, _defaults.packet_interleave,
-                  "vmem")}
-    for g_sub, g_il, g_mem in sorted(gate_cfgs):
+                 # gate it too, in the queue config the integrator would use
+                 _d_cfg + ("vmem", _d_qk)}
+    for g_sub, g_il, g_mem, g_qk in sorted(gate_cfgs):
         cs, ct = packet_intersect(packed, jnp.asarray(co), jnp.asarray(cd),
                                   RAY_MIN, RAY_MAX, stack_depth=sd,
                                   tile_sub=g_sub, interleave=g_il,
-                                  table_mem=g_mem)
+                                  table_mem=g_mem, queue_k=g_qk)
         cs = np.asarray(cs)
         ours = np.where(cs >= 0, fb.tri_orig[np.maximum(cs, 0)], -1)
         agree = float((ours == bt).mean())
         assert agree > 0.999, (
-            "packet kernel (%d,%d,%s) wrong on device: %.4f agreement"
-            % (g_sub, g_il, g_mem, agree))
+            "packet kernel (%d,%d,%s,q%d) wrong on device: %.4f agreement"
+            % (g_sub, g_il, g_mem, g_qk, agree))
     # anyhit is a distinct early-out path in the kernel: a hit must exist
     # along [tmin, tmax] iff the closest-hit oracle found one
     d_sub = _defaults.packet_tile_sub
     d_il = _defaults.packet_interleave
     ahs, _ = packet_intersect(packed, jnp.asarray(co), jnp.asarray(cd),
                               RAY_MIN, RAY_MAX, stack_depth=sd, anyhit=True,
-                              tile_sub=d_sub, interleave=d_il)
+                              tile_sub=d_sub, interleave=d_il, queue_k=_d_qk)
     ah_agree = float(((np.asarray(ahs) >= 0) == (bt >= 0)).mean())
     assert ah_agree > 0.999, (
         "anyhit kernel wrong on device: %.4f agreement" % ah_agree)
@@ -137,16 +140,18 @@ def main():
     py = jnp.asarray(r._lane_py, jnp.float32)
     _, orig, raydir = generate_camera_rays(cam_vec, rng, px, py)
 
-    def chained_trace(o, d, M, tile_sub):
+    def chained_trace(o, d, M, tile_sub, interleave=4, queue_k=0):
         def body(i, carry):
             tm = RAY_MIN * (1.0 + 1e-7 * i.astype(jnp.float32))
             s, t = packet_intersect(packed, o, d, tm, RAY_MAX,
-                                    stack_depth=sd, tile_sub=tile_sub)
+                                    stack_depth=sd, tile_sub=tile_sub,
+                                    interleave=interleave, queue_k=queue_k)
             return carry + t[::65536].sum()
         return jax.lax.fori_loop(0, M, body, jnp.float32(0.0))
 
-    def run_m(o, d, M, tile_sub):
-        g = jax.jit(lambda o_, d_: chained_trace(o_, d_, M, tile_sub))
+    def run_m(o, d, M, tile_sub, interleave=4, queue_k=0):
+        g = jax.jit(lambda o_, d_: chained_trace(o_, d_, M, tile_sub,
+                                                 interleave, queue_k))
         box = {}
 
         def fn():
@@ -191,10 +196,13 @@ def main():
     wrap = hit_idx[np.arange(N) % hit_idx.size]   # fill misses w/ real hits
     b_orig = jnp.asarray((hp + gn * 1e-3)[wrap].astype(np.float32))
     b_dir = jnp.asarray(bd[wrap].astype(np.float32))
-    # measured with the DEFAULT integrator packet config (the gated one)
-    d_sub0 = RenderSettings().packet_tile_sub
-    it_lo = run_m(b_orig, b_dir, 4, d_sub0)
-    it_hi = run_m(b_orig, b_dir, 28, d_sub0)
+    # measured with the DEFAULT integrator packet config (the gated one),
+    # including the work-queue kernel when it is the default
+    d_sub0 = _defaults.packet_tile_sub
+    d_il0 = _defaults.packet_interleave
+    d_qk0 = _defaults.packet_queue_k
+    it_lo = run_m(b_orig, b_dir, 4, d_sub0, d_il0, d_qk0)
+    it_hi = run_m(b_orig, b_dir, 28, d_sub0, d_il0, d_qk0)
     idt = max((it_hi - it_lo) / 24.0, 1e-9)
     incoh_mrays = N / idt / 1e6
 
@@ -211,8 +219,8 @@ def main():
                     r.zeros_accum(), n_frames=4)
     mf_o = jnp.asarray(np.asarray(mf_pool["orig"]))
     mf_d = jnp.asarray(np.asarray(mf_pool["dir"]))
-    mf_lo = run_m(mf_o, mf_d, 4, d_sub0)
-    mf_hi = run_m(mf_o, mf_d, 28, d_sub0)
+    mf_lo = run_m(mf_o, mf_d, 4, d_sub0, d_il0, d_qk0)
+    mf_hi = run_m(mf_o, mf_d, 28, d_sub0, d_il0, d_qk0)
     mf_dt = max((mf_hi - mf_lo) / 24.0, 1e-9)
     midframe_mrays = mf_o.shape[0] / mf_dt / 1e6
 

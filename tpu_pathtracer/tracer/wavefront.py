@@ -156,8 +156,12 @@ class RenderSettings:
     # (tools/eval_rebalance_offline.py; packet step counts are heavy-tailed
     # and unpredictable at compaction time — 63-72% of lanes respawn fresh
     # every wave, so rebalancing-by-predictor is impossible and the queue
-    # is the structural fix). <= interleave keeps the fixed grouping.
-    packet_queue_k: int = 0
+    # is the structural fix). In situ at (8,8): k=64 197.9 ms/frame at
+    # 1024^2 vs 204.2 fixed (1080p: 508.0 vs 550.8); k=96 198.9, k=128
+    # 217.9 (slot-claim scalar chain grows with k); il=16,k=64 213.5 and
+    # tile_sub=16/32 variants 203-215 all lose. <= interleave keeps the
+    # fixed grouping.
+    packet_queue_k: int = 64
 
 
 def trace_rays(scene, settings: RenderSettings, orig, raydir, tmin, tmax,
