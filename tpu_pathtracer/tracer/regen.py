@@ -204,6 +204,11 @@ def make_regen_integrator(settings: RenderSettings, width, height,
             # the previous diffuse vertex, negative = weight 1) closes MIS
             env = env_miss_weighted(scene, settings, raydir, bsdf_pdf,
                                     cam_vec[15])
+            if settings.dup_stage == "envmiss":
+                # perturbed pdf defeats CSE; consumed with x0.0
+                e2 = env_miss_weighted(scene, settings, raydir,
+                                       bsdf_pdf + 1e-7, cam_vec[15])
+                env = env + 0.0 * e2
             # radiance is ADDITIVE: every term is final when it occurs, so
             # this wave's contributions are scatter-added into the image at
             # the end of the wave instead of riding an accumulator column
@@ -214,6 +219,12 @@ def make_regen_integrator(settings: RenderSettings, width, height,
             hitpoint = orig + raydir * hit_t[:, None]
             hit_uv, smooth_n, mat_id = fetch_attributes(scene, hit_slot,
                                                         hitpoint)
+            if settings.dup_stage == "fetch":
+                u2_, n2_, m2_ = fetch_attributes(scene, hit_slot,
+                                                 hitpoint + 1e-7)
+                hit_uv = hit_uv + 0.0 * u2_
+                smooth_n = smooth_n + 0.0 * n2_
+                mat_id = mat_id + 0 * m2_
             mat = gather_material(scene, mat_id)
             tri_n = woop_geometric_normal(scene["prims"],
                                           scene["num_nodes"], hit_slot)
@@ -222,6 +233,9 @@ def make_regen_integrator(settings: RenderSettings, width, height,
             objcol = mat["objcol"]
             if settings.use_texture:
                 tex = texture_radiance(scene, hit_uv)
+                if settings.dup_stage == "texture":
+                    t2 = texture_radiance(scene, hit_uv + 1e-7)
+                    tex = tex + 0.0 * t2
                 objcol = jnp.where((mat["useTexture"] != 0)[:, None], tex,
                                    objcol)
             into = dot(n, raydir) < 0.0
@@ -231,6 +245,14 @@ def make_regen_integrator(settings: RenderSettings, width, height,
 
             rng, next_dir, mask_mul, offset, term, binc, aux = shade(
                 scene, settings, rng, raydir, n, nl, into, mat, objcol)
+            if settings.dup_stage == "shade":
+                # same pre-draw rng state, perturbed raydir defeats CSE
+                _, nd2, mm2, of2, _, _, _ = shade(
+                    scene, settings, st["rng"], raydir * 1.0000001, n, nl,
+                    into, mat, objcol)
+                next_dir = next_dir + 0.0 * nd2
+                mask_mul = mask_mul + 0.0 * mm2
+                offset = offset + 0.0 * of2
 
             if settings.has_bssrdf:
                 ss_lanes = surf & aux["ss_refract"]

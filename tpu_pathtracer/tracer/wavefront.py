@@ -94,7 +94,8 @@ class RenderSettings:
     # stage's marginal in-situ cost — the only way to price a stage inside
     # a fused XLA program (deleting a stage instead lets XLA DCE shared
     # work and under-reports). "" = off; one of "ext_trace", "shadow_trace",
-    # "permute", "scatter", "sample_env", "respawn".
+    # "permute", "scatter", "sample_env", "respawn", "fetch", "envmiss",
+    # "texture", "shade".
     dup_stage: str = ""
     # image-accumulation discipline for the regen integrator: "deferred"
     # carries per-path radiance in three extra pool columns (rides the
