@@ -53,6 +53,16 @@ def _make_step(tab_ref, anyhit, smem_tabs=None):
     per call so the queue kernel can swap ray sets when a slot claims a new
     packet.
 
+    (A per-lane anyhit variant — act=2 lanes first-hit-terminate, letting
+    one call trace ext+NEE-shadow rays together and pay the ~4 ms
+    per-invocation fixed cost once — was built and measured WORSE on
+    device: merged 2M-lane call 70.9 ms vs 68.0 for the two separate
+    calls (probe run, round 3); the early-stop cross-lane reduction it
+    adds to every closest-hit tri step costs more than the fixed-cost
+    saving, and consecutive-packet queue instances never mix the two
+    populations so there is no joint-balancing gain. Deleted — do not
+    rebuild without a layout that interleaves the populations.)
+
     Near-child ordering is by per-step entry-distance min-reductions (two
     full-packet cross-lane reductions per node step). Two cheaper-step
     orderings ("axis" child-order codes, "entry-sampled" packed votes) were
