@@ -127,6 +127,31 @@ def main():
     assert ah_agree > 0.999, (
         "anyhit kernel wrong on device: %.4f agreement" % ah_agree)
 
+    # ---------------- on-device INTEGRATOR correctness gate ----------------
+    # CPU tests cannot catch TPU-only numeric semantics: the ring flush
+    # carried pixel indices as int->f32 BITCASTS, which are denormal bit
+    # patterns the TPU flushes to zero — every banked path's radiance
+    # scatter-added onto pixel 0 (black skies) while the whole CPU suite
+    # stayed green. The default (regen+ring) integrator must match the
+    # classic bounce integrator ON DEVICE, where both share transcendental
+    # implementations, so any mismatch is a pool/flush accounting bug.
+    import dataclasses as _dc
+    _gw = 128
+    _gr = Renderer(fb, mats, envmap=envmap, texture=texture,
+                   width=_gw, height=_gw)
+    _grc = default_camera(_gw, _gw).build_render_camera()
+    _gimg = {}
+    for _mode in ("bounce", "regen"):
+        _r2 = Renderer(fb, mats, envmap=envmap, texture=texture,
+                       width=_gw, height=_gw, base_scene=_gr.scene,
+                       settings=_dc.replace(_gr.settings, integrator=_mode))
+        _gimg[_mode] = np.asarray(
+            _r2.render_frames(_r2.zeros_accum(), _grc, 1, 2))
+    _gd = float(np.abs(_gimg["bounce"] - _gimg["regen"]).max())
+    assert _gd < 5e-3, (
+        "regen integrator diverges from classic on device: maxdiff %g"
+        % _gd)
+
     # ---------------- axis 1: traversal Mrays/s at 1024^2 ----------------
     W = H = 1024
     r = Renderer(fb, mats, envmap=envmap, texture=texture, width=W, height=H)

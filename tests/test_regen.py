@@ -177,9 +177,10 @@ def test_regen_ring_scatter_matches_deferred(tmp_path):
 def test_regen_deferred_full_flush_overflow(tmp_path, scatter_mode):
     """A sky-dominated view kills (nearly) the whole pool in wave 1 —
     more than the half-pool flush window — forcing the deferred scatter's
-    lax.cond full-pool branch (for "ring", the ring-bypassing direct
-    fallback). Radiance must match the classic integrator exactly (nothing
-    dropped, nothing flushed twice)."""
+    lax.cond full-pool branch (for "ring", a full-width dead tail in the
+    always-append window plus early ring wrap into the chunked drain).
+    Radiance must match the classic integrator exactly (nothing dropped,
+    nothing flushed twice)."""
     mesh = procedural.make_test_scene()
     fb = load_or_build(mesh, cache_dir=str(tmp_path))
     mats = [MatDesc(refltype=MAT_DIFF, useTexture=True),

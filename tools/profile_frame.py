@@ -1,12 +1,13 @@
 #!/usr/bin/env python
-"""Device-side profile of the real frame: exact per-op (fusion) times.
+"""Device-side MARGINAL profile of the real frame: exact per-op times.
 
 jax.profiler works through the axon relay and records TPU-side op
-durations — ground truth that replaces the dup-method estimates. Traces
-M chained 1-spp frames at --wh, aggregates device op durations, and
-prints the top ops with their share of the while-loop body. Fusion
-names are matched to HLO content (gather/scatter/sort/custom-call) via
-the compiled module text when --hlo is given.
+durations (hlo_category + long_name per event) — ground truth that
+replaces the dup-method estimates. Profiles a LO-frame and a HI-frame
+chained render and prints (hi - lo)/(HI - LO) per op: the drain-tail
+waves and one-time ops cancel in the diff, leaving the true
+steady-state per-frame anatomy. Container ops (conditional/while/
+fusion-parents) are skipped to avoid double-counting their children.
 """
 import argparse
 import collections
@@ -14,22 +15,64 @@ import glob
 import gzip
 import json
 import os
+import re
 import sys
-import time
 
 import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+_SKIP = ("while", "conditional")
+
+
+def classify(name, long_name):
+    """Human label from the HLO long_name."""
+    if "custom-call" in long_name and "8192,128" in long_name:
+        return "pallas packet trace"
+    if name.startswith("sort"):
+        return "argsort (compact keys)"
+    if "f32[3145728]" in long_name.split("=")[0] or \
+            "f32[6220800]" in long_name.split("=")[0]:
+        return "accum scatter-add"
+    if "f32[4194304,4]" in long_name.split("=")[0]:
+        return "ring append/update"
+    if name.startswith("copy"):
+        return "loop-carry copy"
+    m = re.search(r"= \(?([a-z0-9]+\[[0-9,]+\])", long_name)
+    return m.group(1) if m else ""
+
+
+def collect(logdir):
+    tr = sorted(glob.glob(logdir + "/plugins/profile/*/*.trace.json.gz"))[-1]
+    d = json.loads(gzip.open(tr).read())
+    pid_dev = None
+    for e in d["traceEvents"]:
+        if (e.get("ph") == "M" and e.get("name") == "process_name"
+                and "TPU" in e["args"].get("name", "")):
+            pid_dev = e["pid"]
+    dur = collections.Counter()
+    cnt = collections.Counter()
+    long = {}
+    for e in d["traceEvents"]:
+        if e.get("ph") != "X" or e.get("pid") != pid_dev:
+            continue
+        a = e.get("args", {})
+        cat = a.get("hlo_category", "")
+        if cat in _SKIP or e["name"].startswith("jit_"):
+            continue
+        dur[e["name"]] += e.get("dur", 0)
+        cnt[e["name"]] += 1
+        if e["name"] not in long:
+            long[e["name"]] = (cat, a.get("long_name", ""))
+    return dur, cnt, long
+
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--wh", type=int, default=1024)
-    ap.add_argument("--frames", type=int, default=4)
-    ap.add_argument("--hlo", action="store_true",
-                    help="dump compiled HLO to /tmp/frame_hlo.txt for "
-                         "fusion-name forensics")
-    ap.add_argument("--top", type=int, default=40)
+    ap.add_argument("--frames", type=int, nargs=2, default=(1, 5))
+    ap.add_argument("--top", type=int, default=30)
+    ap.add_argument("--demo", default="default")
     args = ap.parse_args()
 
     import jax
@@ -38,7 +81,8 @@ def main():
     from tpu_pathtracer.tracer.renderer import Renderer
     from tpu_pathtracer.tracer.regen import make_regen_integrator
 
-    fb, mats, envmap, texture = testobj_scene(cache_dir=".bvh_cache")
+    fb, mats, envmap, texture = testobj_scene(cache_dir=".bvh_cache",
+                                              variant=args.demo)
     W = H = args.wh
     r = Renderer(fb, mats, envmap=envmap, texture=texture, width=W, height=H)
     cv = jnp.asarray(default_camera(W, H).build_render_camera().as_array())
@@ -46,50 +90,40 @@ def main():
                  static_argnames=("n_frames",))
     accum = r.zeros_accum()
 
-    def go():
-        return fn(r.scene, cv, jnp.uint32(1), jnp.uint32(0), accum,
-                  n_frames=args.frames)
-    out = go()
-    np.asarray(out[0][-1:])
-    waves = float(out[1])
-    if args.hlo:
-        txt = jax.jit(
-            lambda s, c, a: fn(s, c, jnp.uint32(1), jnp.uint32(0), a,
-                               n_frames=args.frames)
-        ).lower(r.scene, cv, accum).compile().as_text()
-        with open("/tmp/frame_hlo.txt", "w") as f:
-            f.write(txt)
-        print("HLO -> /tmp/frame_hlo.txt (%d KB)" % (len(txt) // 1024))
+    runs = []
+    for M in args.frames:
+        def go():
+            return fn(r.scene, cv, jnp.uint32(1), jnp.uint32(0), accum,
+                      n_frames=M)
+        out = go()
+        np.asarray(out[0][-1:])
+        waves = float(out[1])
+        logdir = "/tmp/jaxprof_m%d" % M
+        os.system("rm -rf " + logdir)
+        with jax.profiler.trace(logdir):
+            np.asarray(go()[0][-1:])
+        runs.append((M, waves) + collect(logdir))
 
-    logdir = "/tmp/jaxprof_frame"
-    os.system("rm -rf " + logdir)
-    t0 = time.perf_counter()
-    with jax.profiler.trace(logdir):
-        np.asarray(go()[0][-1:])
-    wall = time.perf_counter() - t0
-
-    tr = sorted(glob.glob(logdir + "/plugins/profile/*/*.trace.json.gz"))[-1]
-    d = json.loads(gzip.open(tr).read())
-    ev = d["traceEvents"]
-    pid_dev = None
-    for e in ev:
-        if (e.get("ph") == "M" and e.get("name") == "process_name"
-                and "TPU" in e["args"].get("name", "")):
-            pid_dev = e["pid"]
-    dur = collections.Counter()
-    cnt = collections.Counter()
-    for e in ev:
-        if e.get("ph") == "X" and e.get("pid") == pid_dev:
-            dur[e["name"]] += e.get("dur", 0)
-            cnt[e["name"]] += 1
-    total = sum(v for k, v in dur.items()
-                if not k.startswith(("jit_", "while")))
-    print("wall %.1f ms, %d frames, %.1f waves; device op sum %.1f ms"
-          % (wall * 1e3, args.frames, waves, total / 1e3))
-    for n, v in dur.most_common(args.top):
-        if n.startswith(("jit_", "while")):
-            continue
-        print("%9.2f ms  x%-4d %s" % (v / 1e3, cnt[n], n[:90]))
+    (lo, wlo, dlo, clo, llo), (hi, whi, dhi, chi, lhi) = runs
+    df = hi - lo
+    dw = (whi - wlo) / df
+    print("marginal anatomy over %d frames (%.2f waves/frame):"
+          % (df, dw))
+    names = set(dhi) | set(dlo)
+    rows = []
+    for n in names:
+        ms = (dhi.get(n, 0) - dlo.get(n, 0)) / df / 1e3
+        k = (chi.get(n, 0) - clo.get(n, 0)) / df
+        rows.append((ms, k, n))
+    rows.sort(reverse=True)
+    tot = sum(ms for ms, _, _ in rows)
+    print("op-sum %.1f ms/frame" % tot)
+    for ms, k, n in rows[:args.top]:
+        if ms < 0.05:
+            break
+        cat, ln = lhi.get(n) or llo.get(n) or ("", "")
+        print("%8.2f ms  x%-5.1f %-22s %-11s %s"
+              % (ms, k, n[:22], cat[:11], classify(n, ln)[:46]))
 
 
 if __name__ == "__main__":

@@ -28,7 +28,7 @@ from ..core.vecmath import RAY_MIN, RAY_MAX, FOUR_PI, EIGHT_PI, dot, normalize, 
 from ..core.rng import RaySampler
 from ..materials.fresnel import fresnel_dielectric, fresnel_moment_1
 from ..materials.bsdf import lambertian_sample
-from .traverse import intersect_scene, woop_geometric_normal
+from .traverse import intersect_scene
 
 
 def param_soe(A):
@@ -235,7 +235,8 @@ def bssrdf_scatter(scene, settings, rng, hitpoint, normal2, mat, mat_id,
         real_radius = length(vec)
         last_vec = jnp.where(got_hit[:, None], vec, last_vec)
 
-        hit_uv, smooth_n, surface_mat = fetch_attributes(scene, slot, hp_any)
+        hit_uv, smooth_n, surface_mat, geo_n = fetch_attributes(scene, slot,
+                                                                hp_any)
         probe_obj_color = objcol
         if settings.use_texture:
             from .wavefront import texture_radiance
@@ -254,7 +255,6 @@ def bssrdf_scatter(scene, settings, rng, hitpoint, normal2, mat, mat_id,
         hit_count = new_hit_count
         hit_per_probe = hit_per_probe + valid.astype(jnp.int32)
 
-        geo_n = woop_geometric_normal(scene["prims"], scene["num_nodes"], slot)
         chosen_n = jnp.where((mat["useNormal"] != 0)[:, None], smooth_n, geo_n)
         res_point = jnp.where(take[:, None], hp_any, res_point)
         res_normal = jnp.where(take[:, None], chosen_n, res_normal)

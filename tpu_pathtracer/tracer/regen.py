@@ -29,7 +29,6 @@ from .wavefront import (
     RenderSettings, trace_rays, fetch_attributes, gather_material,
     env_miss_weighted, texture_radiance, shade,
 )
-from .traverse import woop_geometric_normal
 from .medium import medium_interaction
 from .bssrdf_shade import bssrdf_scatter
 from .renderer import generate_camera_rays, lane_pixel_xy
@@ -112,7 +111,9 @@ def make_regen_integrator(settings: RenderSettings, width, height,
             # append window for the amortization to beat the per-wave
             # windowed flush (R=P ties it at ~1.8x — measured 218.7 vs
             # 218.9 ms at 1024^2; R=4P gives ~1.14x).
-            # Cols: L r/g/b + bitcast pixel.
+            # Cols: L r/g/b + pixel as float value (bitcast pixels are
+            # denormal bit patterns; the TPU flushes them to 0 — see
+            # _flush_ring).
             st["ring"] = jnp.zeros((_RING_FACTOR * P, 4), jnp.float32)
             st["fill"] = jnp.int32(0)
 
@@ -217,17 +218,16 @@ def make_regen_integrator(settings: RenderSettings, width, height,
             surf = surf & ~miss
 
             hitpoint = orig + raydir * hit_t[:, None]
-            hit_uv, smooth_n, mat_id = fetch_attributes(scene, hit_slot,
-                                                        hitpoint)
+            hit_uv, smooth_n, mat_id, tri_n = fetch_attributes(
+                scene, hit_slot, hitpoint)
             if settings.dup_stage == "fetch":
-                u2_, n2_, m2_ = fetch_attributes(scene, hit_slot,
-                                                 hitpoint + 1e-7)
+                u2_, n2_, m2_, t2_ = fetch_attributes(scene, hit_slot,
+                                                      hitpoint + 1e-7)
                 hit_uv = hit_uv + 0.0 * u2_
                 smooth_n = smooth_n + 0.0 * n2_
                 mat_id = mat_id + 0 * m2_
+                tri_n = tri_n + 0.0 * t2_
             mat = gather_material(scene, mat_id)
-            tri_n = woop_geometric_normal(scene["prims"],
-                                          scene["num_nodes"], hit_slot)
             use_sn = mat["useNormal"] != 0
             n = normalize(jnp.where(use_sn[:, None], smooth_n, tri_n))
             objcol = mat["objcol"]
@@ -474,12 +474,17 @@ def make_regen_integrator(settings: RenderSettings, width, height,
                                          out["L"], 0.0)
             return out
 
-        # window = half the pool: mean per-wave death rate is ~28% of the
-        # pool (waves/frame ~3.6) but early waves (sky misses) run higher —
-        # a quarter-pool window overflowed to the full-flush branch on most
-        # waves and won only 11 ms/frame at 1024^2; the half-pool window
-        # catches nearly every wave while still halving the scatter
+        # windowed-flush window = half the pool: a quarter-pool window
+        # overflowed to the full-flush branch on most waves and won only
+        # 11 ms/frame at 1024^2; the half-pool window catches nearly every
+        # wave while still halving the scatter
         Kw = max(P // 2, 1)
+        # ring append window = 3/4 pool: the profiler showed steady-state
+        # deaths are ~0.48-0.7P per wave — right AT the old half-pool
+        # window, firing the 19.4 ms/frame full-pool fallback on 44% of
+        # waves (tools/profile_frame.py). 3/4 makes the fallback rare
+        # while the P-rung _ring_scatter ladder keeps flush windows tight.
+        Kr = max(3 * P // 4, 1)
 
         def _flush(out):
             """Scatter dead paths' banked radiance into the image.
@@ -523,49 +528,54 @@ def make_regen_integrator(settings: RenderSettings, width, height,
             image. The scatter cost is per-index of the window passed, so a
             static ladder picks the smallest prefix window covering fill
             (rows past fill hold stale bytes from earlier waves and are
-            masked to zero-contribution adds on pixel 0) — the mid-loop
-            pre-flush always lands in the largest window, the post-loop
-            drain usually in the smallest."""
+            masked to zero-contribution adds on pixel 0). The ladder has a
+            rung every P rows: the mid-loop pre-flush lands at fill ~=
+            R - Kw, the post-loop drain usually in the smallest rung.
+            (A while_loop that drained in P-row chunks was measured WORSE —
+            each chunk's scatter lowered at ~9.2 ns/idx vs ~6.5 for the
+            static-window form, 207 vs ~197 ms/frame at 1024^2 — and was
+            reverted; profiles in ARCHITECTURE.md.)"""
             R = ring.shape[0]
 
             def scat(w):
                 def go(a):
                     m = jnp.arange(w, dtype=jnp.int32) < fill
-                    pix = jnp.where(m, jax.lax.bitcast_convert_type(
-                        ring[:w, 3], jnp.int32), 0)
+                    pix = jnp.where(m, ring[:w, 3].astype(jnp.int32), 0)
                     lw = jnp.where(m[:, None], ring[:w, 0:3], 0.0)
                     a = a.at[pix].add(lw[:, 0])
                     a = a.at[pix + N].add(lw[:, 1])
                     a = a.at[pix + 2 * N].add(lw[:, 2])
                     if settings.dup_stage == "scatter":
-                        a = a + 0.0 * a.at[pix].add(lw[:, 0] * 1.0000001)
+                        a2 = a.at[pix].add(lw[:, 0] * 1.0000001)
+                        a2 = a2.at[pix + N].add(lw[:, 1] * 1.0000001)
+                        a2 = a2.at[pix + 2 * N].add(lw[:, 2] * 1.0000001)
+                        a = a + 0.0 * a2
                     return a
                 return go
 
-            if R > 2 * P:
-                return jax.lax.cond(
-                    fill <= P, scat(P),
-                    lambda a: jax.lax.cond(fill <= 2 * P, scat(2 * P),
-                                           scat(R), a),
-                    acc)
-            return scat(R)(acc)
+            def ladder(lo):
+                # smallest rung in {lo, lo+P, ..., R} covering fill
+                if lo >= R:
+                    return scat(R)
+                return lambda a: jax.lax.cond(fill <= lo, scat(lo),
+                                              ladder(lo + P), a)
+            return ladder(P)(acc)
 
         def _flush_ring(out):
             """Ring-banked variant of _flush (scatter_mode="ring").
 
             The compacted dead tail is a contiguous suffix, so banking it
-            is ONE (Kw,4) dynamic_update_slice — a bandwidth copy, no
+            is ONE (Kr,4) dynamic_update_slice — a bandwidth copy, no
             per-index cost. The window is written ROW-REVERSED so the
             n_dead dead rows land FIRST at the fill cursor; the alive-row
             garbage behind them sits past the cursor and is either
             overwritten by the next wave's copy or masked at scatter time.
-            The per-index image scatter then runs only when the ring can't
-            take another window (~every 1/(death-rate·2) waves) plus once
-            after the loop — total scattered indices track actual deaths
-            (~1.3x) instead of Kw every wave (~1.8x). Waves where more
-            than Kw lanes die (frame-final sky waves, queue exhaustion)
-            bypass the ring with the full-pool direct scatter, exactly
-            like _flush's fallback branch."""
+            The per-index image scatter runs only when the ring can't take
+            another window plus once after the loop — total scattered
+            indices track actual deaths instead of a window every wave.
+            Waves where more than Kr lanes die (frame-final sky waves,
+            queue exhaustion) bypass the ring with the full-pool direct
+            scatter, exactly like _flush's fallback branch."""
             acc, ring, fill = out["accum"], out["ring"], out["fill"]
             n_dead = P - jnp.sum(out["active"], dtype=jnp.int32)
 
@@ -573,15 +583,22 @@ def make_regen_integrator(settings: RenderSettings, width, height,
                 a, f = args
                 return _ring_scatter(a, ring, f), jnp.int32(0)
 
-            acc, fill = jax.lax.cond(fill + Kw > ring.shape[0], pre_flush,
+            acc, fill = jax.lax.cond(fill + Kr > ring.shape[0], pre_flush,
                                      lambda args: args, (acc, fill))
 
             def append(args):
                 a, r, f = args
-                act_w = out["active"][P - Kw:, None]
-                lw = jnp.where(act_w, 0.0, out["L"][P - Kw:])
-                pw = jax.lax.bitcast_convert_type(
-                    out["pixel"][P - Kw:], jnp.float32)
+                act_w = out["active"][P - Kr:, None]
+                lw = jnp.where(act_w, 0.0, out["L"][P - Kr:])
+                # pixel rides as a float VALUE, not a bitcast: pixel
+                # indices < 2^23 are DENORMAL f32 bit patterns, and the
+                # TPU flushes denormals to zero somewhere in the
+                # reverse/concat/DUS pipeline — a bitcast-carried pixel
+                # column read back all-zero on device (every banked
+                # path's radiance scatter-added onto pixel 0, skies went
+                # black) while every CPU test passed. Float values are
+                # exact for any pixel index < 2^24.
+                pw = out["pixel"][P - Kr:].astype(jnp.float32)
                 win = jnp.concatenate([lw, pw[:, None]], axis=1)[::-1]
                 if settings.dup_stage == "scatter":
                     r2 = jax.lax.dynamic_update_slice(
@@ -597,9 +614,14 @@ def make_regen_integrator(settings: RenderSettings, width, height,
                 a = a.at[pf].add(lf[:, 0])
                 a = a.at[pf + N].add(lf[:, 1])
                 a = a.at[pf + 2 * N].add(lf[:, 2])
+                if settings.dup_stage == "scatter":
+                    a2 = a.at[pf].add(lf[:, 0] * 1.0000001)
+                    a2 = a2.at[pf + N].add(lf[:, 1] * 1.0000001)
+                    a2 = a2.at[pf + 2 * N].add(lf[:, 2] * 1.0000001)
+                    a = a + 0.0 * a2
                 return a, r, f
 
-            return jax.lax.cond(n_dead <= Kw, append, fallback,
+            return jax.lax.cond(n_dead <= Kr, append, fallback,
                                 (acc, ring, fill))
 
         st = jax.lax.while_loop(cond, body, st)

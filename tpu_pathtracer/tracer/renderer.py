@@ -170,7 +170,8 @@ class Renderer:
                 "num_nodes": flat_bvh.num_nodes,
                 "tri_attr": jnp.asarray(pack_tri_attributes(
                     flat_bvh.tri_pos, flat_bvh.tri_uv, flat_bvh.tri_nrm,
-                    flat_bvh.tri_mat)),
+                    flat_bvh.tri_mat, prims=flat_bvh.prims,
+                    num_nodes=flat_bvh.num_nodes)),
                 "tri_mat": jnp.asarray(flat_bvh.tri_mat),
                 "mat_table": jnp.asarray(pack_mat_table(mat_arrays)),
                 "env_const": jnp.asarray(env_const, jnp.float32),

@@ -35,7 +35,7 @@ from ..materials.bsdf import (
     rough_glass_sample, microfacet_interface_sample, fresnel_blend_sample,
     henyey_greenstein_sample,
 )
-from .traverse import intersect_scene, woop_geometric_normal
+from .traverse import intersect_scene
 from .medium import medium_interaction
 from .bssrdf_shade import bssrdf_scatter
 
@@ -187,27 +187,41 @@ def trace_rays(scene, settings: RenderSettings, orig, raydir, tmin, tmax,
         active=active, tile_size=None)
 
 
-def pack_tri_attributes(tri_pos, tri_uv, tri_nrm, tri_mat):
-    """Pack the per-slot attribute streams into one (Kt,26) array so the
-    shading stage pays ONE gather per lane instead of four (gathers inside
+def pack_tri_attributes(tri_pos, tri_uv, tri_nrm, tri_mat,
+                        prims=None, num_nodes=0):
+    """Pack the per-slot attribute streams into one (Kt,28) array so the
+    shading stage pays ONE gather per lane instead of five (gathers inside
     the bounce loop cost ~0.26 ms / 64k lanes on TPU — they dominate if not
-    fused). Columns: pos[0:9] uv[9:15] nrm[15:24] mat[24] (bitcast) pad."""
+    fused). Columns: pos[0:9] uv[9:15] nrm[15:24] mat[24] (bitcast)
+    geo_n[25:28].
+
+    geo_n precomputes woop_geometric_normal's cross(m1.xyz, m2.xyz) per
+    slot from the unified stream's Woop rows (bit-identical inputs and
+    f32 ops), removing a second full-width (1M,12) row-gather chain from
+    every wave — the profiler priced that chain at ~6.7 ms/frame at
+    1024^2 (tools/profile_frame.py). prims=None (tests/back-compat)
+    leaves the geo_n columns zero."""
     import numpy as np
     Kt = tri_pos.shape[0]
-    out = np.zeros((Kt, 26), np.float32)
+    out = np.zeros((Kt, 28), np.float32)
     out[:, 0:9] = tri_pos
     out[:, 9:15] = tri_uv
     out[:, 15:24] = tri_nrm
     out[:, 24] = np.asarray(tri_mat, np.int32).view(np.float32)
+    if prims is not None:
+        p = np.asarray(prims[num_nodes:num_nodes + Kt], np.float32)
+        out[:, 25:28] = np.cross(p[:, 4:7], p[:, 8:11])
     return out
 
 
 def fetch_attributes(scene, hit_slot, hitpoint):
-    """Barycentric-interpolated uv + smooth normal at the hit
-    (textureFetching, src/renderkernel.cu:440-466). Single packed gather.
-    Returns (hit_uv, smooth_n, mat_id)."""
+    """Barycentric-interpolated uv + smooth normal + geometric normal at
+    the hit (textureFetching, src/renderkernel.cu:440-466 + the :392
+    Woop-row cross). Single packed gather.
+    Returns (hit_uv, smooth_n, mat_id, tri_n); tri_n is zero on miss
+    lanes, matching woop_geometric_normal."""
     safe = jnp.maximum(hit_slot, 0)
-    a = jnp.take(scene["tri_attr"], safe, axis=0)      # [N,26]
+    a = jnp.take(scene["tri_attr"], safe, axis=0)      # [N,28]
     p0, p1, p2 = a[:, 0:3], a[:, 3:6], a[:, 6:9]
     u, v, w = barycentric(hitpoint, p0, p1, p2)
     hit_uv = (u[:, None] * a[:, 9:11] + v[:, None] * a[:, 11:13]
@@ -215,7 +229,8 @@ def fetch_attributes(scene, hit_slot, hitpoint):
     smooth_n = (u[:, None] * a[:, 15:18] + v[:, None] * a[:, 18:21]
                 + w[:, None] * a[:, 21:24])
     mat_id = jax.lax.bitcast_convert_type(a[:, 24], jnp.int32)
-    return hit_uv, smooth_n, mat_id
+    tri_n = jnp.where((hit_slot >= 0)[:, None], a[:, 25:28], 0.0)
+    return hit_uv, smooth_n, mat_id, tri_n
 
 
 # material table column layout (see materials_to_arrays / pack_mat_table)
@@ -463,11 +478,9 @@ def make_integrator(settings: RenderSettings):
 
             # ---------- surface interaction ----------
             hitpoint = orig + raydir * hit_t[:, None]
-            hit_uv, smooth_n, mat_id = fetch_attributes(scene, hit_slot,
-                                                        hitpoint)
+            hit_uv, smooth_n, mat_id, tri_n = fetch_attributes(
+                scene, hit_slot, hitpoint)
             mat = gather_material(scene, mat_id)
-            tri_n = woop_geometric_normal(
-                scene["prims"], scene["num_nodes"], hit_slot)
             use_sn = mat["useNormal"] != 0
             n = normalize(jnp.where(use_sn[:, None], smooth_n, tri_n))
 
