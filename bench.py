@@ -24,9 +24,10 @@ traversal on cosine-bounce rays from the primary-hit distribution (kept
 for cross-round comparability); `midframe_mrays_per_sec` chain-traces a
 FROZEN real regen pool after 3 waves — the population the integrator
 actually pays for (measured ~3x harder than the synthetic one);
-`wave_breakdown_ms` prices each stage of a wave in situ by duplication
-(run the stage twice, consume the copy with x0.0 — deleting a stage
-instead lets XLA DCE shared work); `frame_floor_ms_1080p` composes the
+`frame_breakdown_ms` is the device profiler's exact steady-state
+per-frame cost by category (5-vs-1-frame marginal diff of TPU-side op
+durations; replaced the dup-stage estimates, which mispriced the
+scatter 5x — ARCHITECTURE.md); `frame_floor_ms_1080p` composes the
 measured primitives (mid-frame trace rate + 13-col pool gather + one
 image-scatter index per path death — the ring flush's irreducible
 minimum) into a floor for a 1-spp 1080p frame, and
@@ -354,13 +355,37 @@ def main():
     # 1024^2 frame cost for cross-round comparability (BENCH_r01 extra)
     ms_sq, rays_sq, waves_sq = frame_cost(1024, 1024, reps=3)
 
-    # ---------- per-stage wave cost by in-situ duplication ----------
+    # ---------- per-stage frame cost from the device profiler ----------
+    # jax.profiler records TPU-side per-op durations through the relay;
+    # diffing a 5-frame vs 1-frame chained run cancels drain-tail waves
+    # and one-time ops, leaving the exact steady-state per-frame cost —
+    # this replaced the dup-stage sweep, which mispriced the scatter 5x
+    # (ARCHITECTURE.md "profiler era"). Categories: trace (both Pallas
+    # calls), image_scatter, gathers (permute pmat + attr/env/texture
+    # tables), argsort, layout_copies, other.
     breakdown = {}
-    for stage in ("ext_trace", "shadow_trace", "permute", "scatter",
-                  "sample_env", "respawn"):
-        ms_d, _, _ = frame_cost(1024, 1024, reps=2, dup_stage=stage)
-        breakdown[stage] = round(max(ms_d - ms_sq, 0.0) / max(waves_sq, 1.0),
-                                 2)
+    try:
+        from tpu_pathtracer.utils.profiling import (
+            profile_marginal, categorize)
+        rr_b = Renderer(fb, mats, envmap=envmap, texture=texture,
+                        width=1024, height=1024)
+        cv_b = jnp.asarray(default_camera(1024, 1024)
+                           .build_render_camera().as_array())
+        fn_b = jax.jit(make_regen_integrator(rr_b.settings, 1024, 1024),
+                       static_argnames=("n_frames",))
+        acc_b = rr_b.zeros_accum()
+
+        def run_b(M):
+            np.asarray(fn_b(rr_b.scene, cv_b, jnp.uint32(1), jnp.uint32(0),
+                            acc_b, n_frames=M)[0][-1:])
+        run_b(1)
+        run_b(9)                      # compile both before tracing
+        # the long chain tames lumpy once-per-call events (drain rungs)
+        ops, meta = profile_marginal(run_b, frames=(1, 9))
+        cats = categorize(ops, meta, accum_rows=3 * 1024 * 1024)
+        breakdown = {k: round(v, 2) for k, v in sorted(cats.items())}
+    except Exception as e:            # profiler is an extra, not a gate
+        breakdown = {"error": str(e)[:120]}
 
     # ---------- roofline: compose measured primitives into a floor ----------
     # Per-wave floor = rays/wave at the standalone incoherent kernel rate
@@ -396,7 +421,7 @@ def main():
         "ms_per_frame_1spp": round(ms_sq, 2),          # 1024^2, r01 key
         "waves_per_frame_sq": round(waves_sq, 2),      # breakdown divisor
         "render_mpaths_per_sec": round(1024 * 1024 / ms_sq / 1e3, 3),
-        "wave_breakdown_ms": breakdown,                # per wave at 1024^2
+        "frame_breakdown_ms": breakdown,    # per FRAME at 1024^2, profiler
         "pool_gather13_floor_ms": round(g_ms, 2),      # 13-col 1M-row gather
         "image_scatter3_floor_ms": round(s_ms, 2),     # 3x 1-d scatter-add
         "frame_floor_ms_1080p": round(frame_floor_hd, 1),

@@ -1,0 +1,97 @@
+"""Device-side op profiling through jax.profiler (works on the axon
+relay: TPU-side per-op durations arrive in the trace.json with
+hlo_category + long_name). The marginal-diff protocol — profile a LO-
+and a HI-frame chained run, subtract per-op aggregates — cancels
+drain-tail waves and one-time ops, leaving the exact steady-state
+per-frame cost of every fusion (tools/profile_frame.py prints it raw;
+bench.py reports the category rollup)."""
+from __future__ import annotations
+
+import collections
+import glob
+import gzip
+import json
+import os
+
+_SKIP_CATEGORIES = ("while", "conditional")
+
+
+def collect_device_ops(logdir):
+    """Aggregate device-side op durations from a jax.profiler trace dir.
+    Returns (dur_us Counter by op name, count Counter, {name: (category,
+    long_name)}). Container ops (while/conditional) are skipped so
+    children are not double-counted."""
+    tr = sorted(glob.glob(logdir + "/plugins/profile/*/*.trace.json.gz"))[-1]
+    d = json.loads(gzip.open(tr).read())
+    pid_dev = None
+    for e in d["traceEvents"]:
+        if (e.get("ph") == "M" and e.get("name") == "process_name"
+                and "TPU" in e["args"].get("name", "")):
+            pid_dev = e["pid"]
+    dur = collections.Counter()
+    cnt = collections.Counter()
+    meta = {}
+    for e in d["traceEvents"]:
+        if e.get("ph") != "X" or e.get("pid") != pid_dev:
+            continue
+        a = e.get("args", {})
+        cat = a.get("hlo_category", "")
+        if cat in _SKIP_CATEGORIES or e["name"].startswith("jit_"):
+            continue
+        dur[e["name"]] += e.get("dur", 0)
+        cnt[e["name"]] += 1
+        if e["name"] not in meta:
+            meta[e["name"]] = (cat, a.get("long_name", ""))
+    return dur, cnt, meta
+
+
+def profile_marginal(run, frames=(1, 5), logdir_base="/tmp/jaxprof_bench"):
+    """run(M) must execute + block on an M-frame chained render. Returns
+    (per-op marginal ms/frame dict, meta dict)."""
+    out = []
+    for M in frames:
+        logdir = "%s_m%d" % (logdir_base, M)
+        os.system("rm -rf " + logdir)
+        import jax
+        with jax.profiler.trace(logdir):
+            run(M)
+        out.append(collect_device_ops(logdir))
+    (dlo, _, mlo), (dhi, _, mhi) = out
+    df = frames[1] - frames[0]
+    mhi.update(mlo)
+    ops = {n: (dhi.get(n, 0) - dlo.get(n, 0)) / df / 1e3
+           for n in set(dhi) | set(dlo)}
+    return ops, mhi
+
+
+def categorize(ops, meta, accum_rows=None):
+    """Roll per-op marginal costs into stable wave-stage categories.
+    accum_rows: 3*N of the flat accum buffer (identifies scatter
+    targets); None disables that bucket."""
+    acc_tag = "f32[%d]" % accum_rows if accum_rows else None
+    buckets = collections.Counter()
+    for n, ms in ops.items():
+        # keep NEGATIVE marginals: lumpy events (the ring's flush-ladder
+        # rungs) can fire under different fusion names in the LO and HI
+        # programs (different static rung per fill), and the negative
+        # LO-side piece must cancel inside the same shape bucket or the
+        # category sum is biased upward
+        cat, ln = meta.get(n, ("", ""))
+        # output shape sits between "= " and the opening "fusion(";
+        # operand shapes (which may repeat the accum shape) come after
+        out_part = ln.split("fusion(")[0] if "fusion(" in ln else ln[:80]
+        if cat == "custom-call":
+            buckets["trace"] += ms
+        elif acc_tag and acc_tag in out_part:
+            buckets["image_scatter"] += ms
+        elif n.startswith("sort"):
+            buckets["argsort"] += ms
+        elif n.startswith("copy"):
+            buckets["layout_copies"] += ms
+        elif cat == "custom fusion":
+            # kCustom fusions other than scatter are the per-lane table
+            # gathers (permute pmat, tri_attr, env alias/quad, texture)
+            buckets["gathers"] += ms
+        else:
+            buckets["other"] += ms
+    return dict(buckets)
