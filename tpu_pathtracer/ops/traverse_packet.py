@@ -47,11 +47,15 @@ SENTINEL = np.int32(0x76543210)
 F32_BIG = np.float32(1e30)
 
 
-def _make_step(tab_ref, anyhit, smem_tabs=None):
+def _make_step(tab_ref, anyhit, smem_tabs=None, tmin=None):
     """Returns step(state, stack_ref, base, rays) -> state for ONE packet.
     rays: dict of per-lane (SUB,128) arrays + precomputed idir/ood — passed
     per call so the queue kernel can swap ray sets when a slot claims a new
-    packet.
+    packet. state is (cur, sp, hit_slot, hit_t) plus a trailing `done`
+    int32 tile ONLY when anyhit (closest-hit traces don't carry the dead
+    (SUB,128) tile through every while-loop iteration). tmin is a SCALAR
+    read once from SMEM (it is loop-invariant; a full per-lane tile cost
+    an operand + per-step re-read in the queue kernel for no information).
 
     (A per-lane anyhit variant — act=2 lanes first-hit-terminate, letting
     one call trace ext+NEE-shadow rays together and pay the ~4 ms
@@ -75,9 +79,12 @@ def _make_step(tab_ref, anyhit, smem_tabs=None):
         dx, dy, dz = rays["dx"], rays["dy"], rays["dz"]
         idx_, idy, idz = rays["idx"], rays["idy"], rays["idz"]
         oodx, oody, oodz = rays["oodx"], rays["oody"], rays["oodz"]
-        tmin = rays["tmin"]
         act = rays["act"]
-        cur, sp, hit_slot, hit_t, done = st  # done: int32 lanes (0/1)
+        if anyhit:
+            cur, sp, hit_slot, hit_t, done = st  # done: int32 lanes (0/1)
+        else:
+            cur, sp, hit_slot, hit_t = st
+            done = None
         alive = cur != SENTINEL
         is_node = alive & (cur >= 0)
         is_tri = alive & (cur < 0)
@@ -118,7 +125,7 @@ def _make_step(tab_ref, anyhit, smem_tabs=None):
         m0 = sci(12)
         m1 = sci(13)
 
-        vote = act & (done == 0)
+        vote = act & (done == 0) if anyhit else act
 
         # ---- node interpretation: two slab tests ----
         c0lox = f0 * idx_ - oodx
@@ -195,12 +202,14 @@ def _make_step(tab_ref, anyhit, smem_tabs=None):
             stack_ref[base + new_sp] = far
 
         new_sp = new_sp + push.astype(jnp.int32)
-        return new_cur, new_sp, hit_slot, hit_t, done
+        if anyhit:
+            return new_cur, new_sp, hit_slot, hit_t, done
+        return new_cur, new_sp, hit_slot, hit_t
 
     return step
 
 
-def _make_step_branch(tab_ref, rays, anyhit, smem_tabs=None):
+def _make_step_branch(tab_ref, rays, anyhit, smem_tabs=None, tmin=None):
     """Branched variant of _make_step: a 3-way lax.switch on the cursor
     (finished / node / triangle) instead of computing both interpretations
     every step. Saves half the VPU work per step and makes a finished
@@ -212,11 +221,14 @@ def _make_step_branch(tab_ref, rays, anyhit, smem_tabs=None):
     oodx, oody, oodz = rays["oodx"], rays["oody"], rays["oodz"]
     ox, oy, oz = rays["ox"], rays["oy"], rays["oz"]
     dx, dy, dz = rays["dx"], rays["dy"], rays["dz"]
-    tmin = rays["tmin"]
     act = rays["act"]
 
     def step(st, stack_ref, base):
-        cur, sp, hit_slot, hit_t, done = st
+        if anyhit:
+            cur, sp, hit_slot, hit_t, done = st
+        else:
+            cur, sp, hit_slot, hit_t = st
+            done = None
         is_node = cur >= 0
         row = jnp.where(cur < 0, ~cur, jnp.maximum(cur, 0))
 
@@ -240,13 +252,13 @@ def _make_step_branch(tab_ref, rays, anyhit, smem_tabs=None):
             def sc(c):
                 return jnp.sum(prow[0:1, c:c + 1])
 
-        vote = act & (done == 0)
+        vote = act & (done == 0) if anyhit else act
         top = stack_ref[base + jnp.maximum(sp - 1, 0)]
         popped = jnp.where(sp > 0, top, SENTINEL)
         pop_sp = jnp.maximum(sp - 1, 0)
 
         def dead_fn():
-            return cur, sp, hit_slot, hit_t, done
+            return st
 
         def node_fn():
             f0, f1, f2, f3 = sc(0), sc(1), sc(2), sc(3)
@@ -302,7 +314,9 @@ def _make_step_branch(tab_ref, rays, anyhit, smem_tabs=None):
                 stack_ref[base + new_sp] = far
 
             new_sp = new_sp + both.astype(jnp.int32)
-            return new_cur, new_sp, hit_slot, hit_t, done
+            if anyhit:
+                return new_cur, new_sp, hit_slot, hit_t, done
+            return new_cur, new_sp, hit_slot, hit_t
 
         def tri_fn():
             f0, f1, f2, f3 = sc(0), sc(1), sc(2), sc(3)
@@ -321,7 +335,6 @@ def _make_step_branch(tab_ref, rays, anyhit, smem_tabs=None):
                 & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
             new_t = jnp.where(tri_hit, t, hit_t)
             new_slot = jnp.where(tri_hit, m0, hit_slot)
-            new_done = done
             tri_last = m1 != 0
             if anyhit:
                 new_done = done | tri_hit.astype(jnp.int32)
@@ -330,7 +343,9 @@ def _make_step_branch(tab_ref, rays, anyhit, smem_tabs=None):
                 tri_stop = tri_last
             new_cur = jnp.where(tri_stop, popped, cur - 1)
             new_sp = jnp.where(tri_stop, pop_sp, sp)
-            return new_cur, new_sp, new_slot, new_t, new_done
+            if anyhit:
+                return new_cur, new_sp, new_slot, new_t, new_done
+            return new_cur, new_sp, new_slot, new_t
 
         branch = jnp.where(cur == SENTINEL, 0,
                            jnp.where(is_node, 1, 2))
@@ -350,20 +365,22 @@ def _make_step_branch(tab_ref, rays, anyhit, smem_tabs=None):
 def _kernel(*refs, anyhit, stack_depth, interleave, sub, smem_table,
             step_mode="fused", count_steps=False):
     if smem_table:
-        (tab_smem, meta_smem, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
-         dz_ref, tmin_ref, tmax_ref, act_ref, slot_ref, t_ref,
+        (tab_smem, meta_smem, tmin_smem, ox_ref, oy_ref, oz_ref, dx_ref,
+         dy_ref, dz_ref, tmax_ref, act_ref, slot_ref, t_ref,
          *rest) = refs
         tab_ref = None
         smem_tabs = (tab_smem, meta_smem)
     else:
-        (tab_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-         tmin_ref, tmax_ref, act_ref, slot_ref, t_ref, *rest) = refs
+        (tab_ref, tmin_smem, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
+         dz_ref, tmax_ref, act_ref, slot_ref, t_ref, *rest) = refs
         smem_tabs = None
     if count_steps:
         nst_ref, stack_ref = rest
     else:
         (stack_ref,) = rest
     G = interleave
+    ns = 5 if anyhit else 4           # state arity before the counter
+    tmin = tmin_smem[0]               # loop-invariant scalar
     ooeps = jnp.float32(2.0 ** -80)
 
     def inv(d):
@@ -374,7 +391,8 @@ def _kernel(*refs, anyhit, stack_depth, interleave, sub, smem_table,
     states = []
     steps = []
     rays_l = []
-    fused_step = _make_step(tab_ref, anyhit, smem_tabs=smem_tabs)
+    fused_step = _make_step(tab_ref, anyhit, smem_tabs=smem_tabs,
+                            tmin=tmin)
     for g in range(G):
         sl = pl.ds(g * sub, sub)
         rays = {}
@@ -384,7 +402,6 @@ def _kernel(*refs, anyhit, stack_depth, interleave, sub, smem_table,
         rays["dx"] = dx_ref[sl, :]
         rays["dy"] = dy_ref[sl, :]
         rays["dz"] = dz_ref[sl, :]
-        rays["tmin"] = tmin_ref[sl, :]
         rays["act"] = act_ref[sl, :] != 0
         rays["idx"] = inv(rays["dx"])
         rays["idy"] = inv(rays["dy"])
@@ -393,18 +410,20 @@ def _kernel(*refs, anyhit, stack_depth, interleave, sub, smem_table,
         rays["oody"] = rays["oy"] * rays["idy"]
         rays["oodz"] = rays["oz"] * rays["idz"]
         tmax_g = tmax_ref[sl, :]
-        hit_t0 = jnp.where(rays["act"], tmax_g, rays["tmin"])
+        hit_t0 = jnp.where(rays["act"], tmax_g, tmin)
         cur0 = jnp.where(jnp.any(rays["act"]), jnp.int32(0), SENTINEL)
         state = (cur0, jnp.int32(0),
-                 jnp.full((sub, 128), -1, jnp.int32), hit_t0,
-                 jnp.zeros((sub, 128), jnp.int32))
+                 jnp.full((sub, 128), -1, jnp.int32), hit_t0)
+        if anyhit:
+            state = state + (jnp.zeros((sub, 128), jnp.int32),)
         if count_steps:
             state = state + (jnp.int32(0),)   # live-step counter
         states.append(state)
         rays_l.append(rays)
         if step_mode == "branch":
             steps.append(_make_step_branch(tab_ref, rays, anyhit,
-                                           smem_tabs=smem_tabs))
+                                           smem_tabs=smem_tabs,
+                                           tmin=tmin))
 
     def cond(c):
         alive = c[0][0] != SENTINEL
@@ -416,12 +435,12 @@ def _kernel(*refs, anyhit, stack_depth, interleave, sub, smem_table,
         out = []
         for g in range(G):
             if step_mode == "branch":
-                new = steps[g](c[g][:5], stack_ref, g * stack_depth)
+                new = steps[g](c[g][:ns], stack_ref, g * stack_depth)
             else:
-                new = fused_step(c[g][:5], stack_ref, g * stack_depth,
+                new = fused_step(c[g][:ns], stack_ref, g * stack_depth,
                                  rays_l[g])
             if count_steps:
-                new = new + (c[g][5]
+                new = new + (c[g][ns]
                              + (c[g][0] != SENTINEL).astype(jnp.int32),)
             out.append(new)
         return tuple(out)
@@ -429,12 +448,12 @@ def _kernel(*refs, anyhit, stack_depth, interleave, sub, smem_table,
     final = jax.lax.while_loop(cond, body, tuple(states))
     for g in range(G):
         sl = pl.ds(g * sub, sub)
-        cur, sp, hit_slot, hit_t, done = final[g][:5]
+        hit_slot, hit_t = final[g][2], final[g][3]
         act = act_ref[sl, :] != 0
         slot_ref[sl, :] = hit_slot
         t_ref[sl, :] = jnp.where(act, hit_t, tmax_ref[sl, :])
         if count_steps:
-            nst_ref[sl, :] = jnp.full((sub, 128), final[g][5], jnp.int32)
+            nst_ref[sl, :] = jnp.full((sub, 128), final[g][ns], jnp.int32)
 
 
 def _queue_kernel(*refs, anyhit, stack_depth, interleave, sub, smem_table,
@@ -460,15 +479,15 @@ def _queue_kernel(*refs, anyhit, stack_depth, interleave, sub, smem_table,
     the result store for a just-finished packet sits under a pl.when
     taken on ~2-3% of iterations."""
     if smem_table:
-        (tab_smem, meta_smem, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
-         dz_ref, idx_ref, idy_ref, idz_ref, oodx_ref, oody_ref, oodz_ref,
-         tmin_ref, tmax_ref, act_ref, slot_ref, t_ref, *rest) = refs
+        (tab_smem, meta_smem, tmin_smem, ox_ref, oy_ref, oz_ref, dx_ref,
+         dy_ref, dz_ref, idx_ref, idy_ref, idz_ref,
+         tmax_ref, act_ref, slot_ref, t_ref, *rest) = refs
         tab_ref = None
         smem_tabs = (tab_smem, meta_smem)
     else:
-        (tab_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-         idx_ref, idy_ref, idz_ref, oodx_ref, oody_ref, oodz_ref,
-         tmin_ref, tmax_ref, act_ref, slot_ref, t_ref, *rest) = refs
+        (tab_ref, tmin_smem, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
+         dz_ref, idx_ref, idy_ref, idz_ref,
+         tmax_ref, act_ref, slot_ref, t_ref, *rest) = refs
         smem_tabs = None
     if count_steps:
         nst_ref, stack_ref = rest
@@ -476,20 +495,29 @@ def _queue_kernel(*refs, anyhit, stack_depth, interleave, sub, smem_table,
         (stack_ref,) = rest
     G = interleave
     K = queue_k
+    ns = 5 if anyhit else 4           # step-state arity
+    tmin = tmin_smem[0]               # loop-invariant scalar
 
     def load_rays(pk):
-        """pk: scalar packet index within the block (dynamic)."""
+        """pk: scalar packet index within the block (dynamic). ood is
+        recomputed from o*idir (3 vmuls/step) instead of riding 3 more
+        operands: the queue kernel re-reads rays from VMEM every step, so
+        each dropped operand cuts per-step traffic AND the block's VMEM
+        footprint (15 -> 11 ray operands lets bigger queue_k fit the
+        default scoped-VMEM budget)."""
         sl = pl.ds(pk * sub, sub)
-        return {
+        r = {
             "ox": ox_ref[sl, :], "oy": oy_ref[sl, :], "oz": oz_ref[sl, :],
             "dx": dx_ref[sl, :], "dy": dy_ref[sl, :], "dz": dz_ref[sl, :],
             "idx": idx_ref[sl, :], "idy": idy_ref[sl, :],
-            "idz": idz_ref[sl, :], "oodx": oodx_ref[sl, :],
-            "oody": oody_ref[sl, :], "oodz": oodz_ref[sl, :],
-            "tmin": tmin_ref[sl, :], "act": act_ref[sl, :] != 0,
+            "idz": idz_ref[sl, :], "act": act_ref[sl, :] != 0,
         }
+        r["oodx"] = r["ox"] * r["idx"]
+        r["oody"] = r["oy"] * r["idy"]
+        r["oodz"] = r["oz"] * r["idz"]
+        return r
 
-    step = _make_step(tab_ref, anyhit, smem_tabs=smem_tabs)
+    step = _make_step(tab_ref, anyhit, smem_tabs=smem_tabs, tmin=tmin)
 
     slots0 = []
     for g in range(G):
@@ -502,8 +530,9 @@ def _queue_kernel(*refs, anyhit, stack_depth, interleave, sub, smem_table,
         # tmin)): inactive lanes never vote and the store masks them to
         # tmax anyway, so outputs are bit-identical.
         st = (jnp.int32(g), jnp.int32(0), jnp.int32(0),
-              jnp.full((sub, 128), -1, jnp.int32), tmax_ref[sl, :],
-              jnp.zeros((sub, 128), jnp.int32))
+              jnp.full((sub, 128), -1, jnp.int32), tmax_ref[sl, :])
+        if anyhit:
+            st = st + (jnp.zeros((sub, 128), jnp.int32),)
         if count_steps:
             st = st + (jnp.int32(0),)
         slots0.append(st)
@@ -524,10 +553,11 @@ def _queue_kernel(*refs, anyhit, stack_depth, interleave, sub, smem_table,
             sl = c[g]
             pkt, cur = sl[0], sl[1]
             rays = load_rays(pkt)
-            new = step(sl[1:6], stack_ref, g * stack_depth, rays)
+            new = step(sl[1:1 + ns], stack_ref, g * stack_depth, rays)
             st = (pkt,) + new
             if count_steps:
-                st = st + (sl[6] + (cur != SENTINEL).astype(jnp.int32),)
+                st = st + (sl[1 + ns]
+                           + (cur != SENTINEL).astype(jnp.int32),)
             stepped.append(st)
             acts.append(rays["act"])
             fins.append((new[0] == SENTINEL) & (cur != SENTINEL))
@@ -547,7 +577,8 @@ def _queue_kernel(*refs, anyhit, stack_depth, interleave, sub, smem_table,
                 t_ref[out, :] = jnp.where(fins[g], tv, t_ref[out, :])
                 if count_steps:
                     nst_ref[out, :] = jnp.where(
-                        fins[g], jnp.full((sub, 128), sl[6], jnp.int32),
+                        fins[g],
+                        jnp.full((sub, 128), sl[1 + ns], jnp.int32),
                         nst_ref[out, :])
 
         # branch-free claim: scalar cursor bump + state re-init selects.
@@ -566,11 +597,13 @@ def _queue_kernel(*refs, anyhit, stack_depth, interleave, sub, smem_table,
                   jnp.where(want, jnp.int32(0), sl[2]),
                   jnp.where(want, jnp.full((sub, 128), -1, jnp.int32),
                             sl[3]),
-                  jnp.where(want, tmax_new, sl[4]),
-                  jnp.where(want, jnp.zeros((sub, 128), jnp.int32),
-                            sl[5]))
+                  jnp.where(want, tmax_new, sl[4]))
+            if anyhit:
+                st = st + (jnp.where(want,
+                                     jnp.zeros((sub, 128), jnp.int32),
+                                     sl[5]),)
             if count_steps:
-                st = st + (jnp.where(want, jnp.int32(0), sl[6]),)
+                st = st + (jnp.where(want, jnp.int32(0), sl[1 + ns]),)
             out.append(st)
         return tuple(out) + (nxt,)
 
@@ -591,6 +624,10 @@ def packet_intersect(packed, orig, raydir, tmin, tmax, anyhit=False,
     """Packet-traverse rays against the packed (K,16) primitive stream.
 
     orig/raydir: [N,3]; N is padded to tile_sub*interleave*128 internally.
+    tmin must be a SCALAR (python float or 0-d array — every production
+    caller passes RAY_MIN): it rides to the kernel as one SMEM float read
+    once per instance instead of a full (N,) operand tile the queue
+    kernel would re-read every step. tmax may be scalar or per-lane [N].
     Returns (hit_slot [N] i32, hit_t [N] f32); with count_steps=True also
     a per-lane i32 of its packet's live step count (diagnostic: the
     roofline's steps-per-wave input — all lanes of a packet share the
@@ -610,6 +647,10 @@ def packet_intersect(packed, orig, raydir, tmin, tmax, anyhit=False,
     N = orig.shape[0]
     LANES = 128
     K = packed.shape[0]
+    if jnp.ndim(tmin) != 0:
+        raise ValueError("packet_intersect requires a scalar tmin "
+                         "(per-lane tmin would cost a full operand tile "
+                         "re-read per queue step; no caller needs it)")
     table_bytes = K * 14 * 4
     if table_mem == "auto":
         table_mem = ("smem" if not interpret
@@ -636,16 +677,18 @@ def packet_intersect(packed, orig, raydir, tmin, tmax, anyhit=False,
             x = jnp.pad(x, (0, Np - N), constant_values=fill)
         return x.reshape(rows, LANES)
 
-    tmin_a = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (N,))
+    tmin1 = jnp.asarray(tmin, jnp.float32).reshape(1)
     tmax_a = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (N,))
     act = (jnp.ones((N,), jnp.int32) if active is None
            else active.astype(jnp.int32))
 
     if queue:
         # the queue kernel re-reads rays per step through a dynamic packet
-        # cursor, so idir/ood arrive precomputed (same ooeps clamp as the
+        # cursor, so idir arrives precomputed (same ooeps clamp as the
         # in-kernel inv(); XLA fuses this into the pad/reshape) instead of
-        # recomputing 3 divides per slot per step
+        # recomputing 3 divides per slot per step. ood = o*idir is NOT
+        # precomputed: 3 in-kernel vmuls/step are cheaper than 3 more
+        # operands' per-step VMEM re-reads + block footprint.
         ooeps = jnp.float32(2.0 ** -80)
 
         def inv_a(d):
@@ -653,22 +696,20 @@ def packet_intersect(packed, orig, raydir, tmin, tmax, anyhit=False,
                              jnp.where(d >= 0, ooeps, -ooeps))
             return 1.0 / safe
 
-        ide = tuple(inv_a(raydir[:, i]) for i in range(3))
         args = (
             prep(orig[:, 0], 0.0), prep(orig[:, 1], 0.0),
             prep(orig[:, 2], 0.0),
             prep(raydir[:, 0], 1.0), prep(raydir[:, 1], 1.0),
             prep(raydir[:, 2], 1.0),
-            prep(ide[0], 1.0), prep(ide[1], 1.0), prep(ide[2], 1.0),
-            prep(orig[:, 0] * ide[0], 0.0), prep(orig[:, 1] * ide[1], 0.0),
-            prep(orig[:, 2] * ide[2], 0.0),
-            prep(tmin_a, 0.0), prep(tmax_a, 0.0), prep(act, 0),
+            prep(inv_a(raydir[:, 0]), 1.0), prep(inv_a(raydir[:, 1]), 1.0),
+            prep(inv_a(raydir[:, 2]), 1.0),
+            prep(tmax_a, 0.0), prep(act, 0),
         )
     else:
         args = (
             prep(orig[:, 0], 0.0), prep(orig[:, 1], 0.0), prep(orig[:, 2], 0.0),
             prep(raydir[:, 0], 1.0), prep(raydir[:, 1], 1.0), prep(raydir[:, 2], 1.0),
-            prep(tmin_a, 0.0), prep(tmax_a, 0.0), prep(act, 0),
+            prep(tmax_a, 0.0), prep(act, 0),
         )
 
     blk = tile_sub * pkts_per_tile
@@ -699,18 +740,18 @@ def packet_intersect(packed, orig, raydir, tmin, tmax, anyhit=False,
         tab_flat = packed[:, :12].reshape(-1)
         meta_flat = jax.lax.bitcast_convert_type(
             packed[:, 12:14], jnp.int32).reshape(-1)
-        ray_spec = pl.BlockSpec((blk, LANES), lambda i, s1, s2: (i, 0),
+        ray_spec = pl.BlockSpec((blk, LANES), lambda i, *_: (i, 0),
                                 memory_space=pltpu.VMEM)
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=(n_tiles,),
             in_specs=[ray_spec] * len(args),
             out_specs=[ray_spec] * n_out,
             scratch_shapes=[pltpu.SMEM((stack_depth * interleave,),
                                        jnp.int32)],
         )
-        # queue blocks hold queue_k packets x 15 operands and overflow the
-        # default 16M scoped-VMEM budget at queue_k >= 128; v5e has 128M
+        # queue blocks hold queue_k packets x 11 ray operands and overflow
+        # the default 16M scoped-VMEM budget at big queue_k; v5e has 128M
         # physical VMEM, so raise the cap for big-queue configs
         cp = {}
         if (queue and blk * LANES * 4 * (len(args) + n_out) * 2 > 15 << 20):
@@ -719,12 +760,14 @@ def packet_intersect(packed, orig, raydir, tmin, tmax, anyhit=False,
         outs = pl.pallas_call(
             kern, grid_spec=grid_spec, out_shape=out_shape,
             interpret=interpret, **cp,
-        )(tab_flat, meta_flat, *args)
+        )(tab_flat, meta_flat, tmin1, *args)
     else:
         ray_spec = pl.BlockSpec((blk, LANES), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM)
         tab_spec = pl.BlockSpec(packed.shape, lambda i: (0, 0),
                                 memory_space=pltpu.VMEM)
+        tmin_spec = pl.BlockSpec((1,), lambda i: (0,),
+                                 memory_space=pltpu.SMEM)
         cp = {}
         if (queue and (blk * LANES * 4 * (len(args) + n_out) * 2
                        + packed.size * 4) > 15 << 20):
@@ -733,13 +776,13 @@ def packet_intersect(packed, orig, raydir, tmin, tmax, anyhit=False,
         outs = pl.pallas_call(
             kern,
             grid=(n_tiles,),
-            in_specs=[tab_spec] + [ray_spec] * len(args),
+            in_specs=[tab_spec, tmin_spec] + [ray_spec] * len(args),
             out_specs=[ray_spec] * n_out,
             out_shape=out_shape,
             scratch_shapes=[pltpu.SMEM((stack_depth * interleave,),
                                        jnp.int32)],
             interpret=interpret, **cp,
-        )(packed, *args)
+        )(packed, tmin1, *args)
     slot, t = outs[0], outs[1]
     if count_steps:
         return (slot.reshape(-1)[:N], t.reshape(-1)[:N],

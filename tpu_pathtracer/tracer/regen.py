@@ -528,14 +528,16 @@ def make_regen_integrator(settings: RenderSettings, width, height,
             image. The scatter cost is per-index of the window passed, so a
             static ladder picks the smallest prefix window covering fill
             (rows past fill hold stale bytes from earlier waves and are
-            masked to zero-contribution adds on pixel 0). The ladder has a
-            rung every P rows: the mid-loop pre-flush lands at fill ~=
-            R - Kw, the post-loop drain usually in the smallest rung.
-            (A while_loop that drained in P-row chunks was measured WORSE —
-            each chunk's scatter lowered at ~9.2 ns/idx vs ~6.5 for the
-            static-window form, 207 vs ~197 ms/frame at 1024^2 — and was
-            reverted; profiles in ARCHITECTURE.md.)"""
+            masked to zero-contribution adds on pixel 0). Rungs every P/4
+            rows: the mid-loop pre-flush fires at fill > R - Kr (= 3.25P
+            at the defaults), so P-granular rungs always paid the full-R
+            scatter — ~1.23 scattered idx/death; P/4 rungs track fill to
+            ~1.06. (A while_loop that drained in P-row chunks was measured
+            WORSE — each chunk's scatter lowered at ~9.2 ns/idx vs ~6.5
+            for the static-window form, 207 vs ~197 ms/frame at 1024^2 —
+            and was reverted; profiles in ARCHITECTURE.md.)"""
             R = ring.shape[0]
+            rung_step = max(P // 4, 1)
 
             def scat(w):
                 def go(a):
@@ -554,12 +556,12 @@ def make_regen_integrator(settings: RenderSettings, width, height,
                 return go
 
             def ladder(lo):
-                # smallest rung in {lo, lo+P, ..., R} covering fill
+                # smallest rung in {lo, lo+P/4, ..., R} covering fill
                 if lo >= R:
                     return scat(R)
                 return lambda a: jax.lax.cond(fill <= lo, scat(lo),
-                                              ladder(lo + P), a)
-            return ladder(P)(acc)
+                                              ladder(lo + rung_step), a)
+            return ladder(rung_step)(acc)
 
         def _flush_ring(out):
             """Ring-banked variant of _flush (scatter_mode="ring").

@@ -158,11 +158,15 @@ class RenderSettings:
     # and unpredictable at compaction time — 63-72% of lanes respawn fresh
     # every wave, so rebalancing-by-predictor is impossible and the queue
     # is the structural fix). In situ at (8,8): k=64 197.9 ms/frame at
-    # 1024^2 vs 204.2 fixed (1080p: 508.0 vs 550.8); k=96 198.9, k=128
-    # 217.9 (slot-claim scalar chain grows with k); il=16,k=64 213.5 and
+    # 1024^2 vs 204.2 fixed (1080p: 508.0 vs 550.8); il=16,k=64 213.5 and
     # tile_sub=16/32 variants 203-215 all lose. <= interleave keeps the
-    # fixed grouping.
-    packet_queue_k: int = 64
+    # fixed grouping. After the kernel slimming (ood recomputed in-kernel,
+    # scalar-SMEM tmin, no done-carry on closest-hit — 15 -> 11 ray
+    # operands) the optimum moved UP: k=128's blocks now fit without
+    # VMEM pressure and win — 177.8 ms at 1024^2 / 456.5 at 1080p vs
+    # 183.7/— at k=64, 179.9 at k=96; k=192/256 lose again (194.0/194.9,
+    # the raised VMEM cap costs more than the smaller tax saves).
+    packet_queue_k: int = 128
 
 
 def trace_rays(scene, settings: RenderSettings, orig, raydir, tmin, tmax,
