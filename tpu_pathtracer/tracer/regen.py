@@ -525,25 +525,33 @@ def make_regen_integrator(settings: RenderSettings, width, height,
 
         def _ring_scatter(acc, ring, fill):
             """Scatter the ring's banked (L, pixel) rows [0, fill) into the
-            image. The scatter cost is per-index of the window passed, so a
-            static ladder picks the smallest prefix window covering fill
-            (rows past fill hold stale bytes from earlier waves and are
-            masked to zero-contribution adds on pixel 0). Rungs every P/4
+            image and return (acc, zeroed ring). The scatter cost is
+            per-index of the window passed, so a static ladder picks the
+            smallest prefix window covering fill. Rungs every P/4
             rows: the mid-loop pre-flush fires at fill > R - Kr (= 3.25P
             at the defaults), so P-granular rungs always paid the full-R
             scatter — ~1.23 scattered idx/death; P/4 rungs track fill to
             ~1.06. (A while_loop that drained in P-row chunks was measured
             WORSE — each chunk's scatter lowered at ~9.2 ns/idx vs ~6.5
             for the static-window form, 207 vs ~197 ms/frame at 1024^2 —
-            and was reverted; profiles in ARCHITECTURE.md.)"""
+            and was reverted; profiles in ARCHITECTURE.md.)
+
+            The scatter is UNMASKED: the ring keeps the invariant that
+            rows >= fill are all-zero (initial zeros; the append writes
+            zeros into its window's garbage rows; the drain re-zeroes the
+            prefix it scattered), so stale rows contribute +0.0 to pixel 0
+            without the per-row iota/compare/select chain the masked form
+            paid on up-to-4P rows per drain (the zero-write is a ~free
+            bandwidth store; the mask was measured VPU work on the
+            scatter's critical path)."""
             R = ring.shape[0]
             rung_step = max(P // 4, 1)
 
             def scat(w):
-                def go(a):
-                    m = jnp.arange(w, dtype=jnp.int32) < fill
-                    pix = jnp.where(m, ring[:w, 3].astype(jnp.int32), 0)
-                    lw = jnp.where(m[:, None], ring[:w, 0:3], 0.0)
+                def go(args):
+                    a, r = args
+                    pix = r[:w, 3].astype(jnp.int32)
+                    lw = r[:w, 0:3]
                     a = a.at[pix].add(lw[:, 0])
                     a = a.at[pix + N].add(lw[:, 1])
                     a = a.at[pix + 2 * N].add(lw[:, 2])
@@ -552,16 +560,19 @@ def make_regen_integrator(settings: RenderSettings, width, height,
                         a2 = a2.at[pix + N].add(lw[:, 1] * 1.0000001)
                         a2 = a2.at[pix + 2 * N].add(lw[:, 2] * 1.0000001)
                         a = a + 0.0 * a2
-                    return a
+                    # restore the rows-past-fill-are-zero invariant for
+                    # the next fill cycle (static-width prefix store)
+                    r = r.at[:w].set(0.0)
+                    return a, r
                 return go
 
             def ladder(lo):
                 # smallest rung in {lo, lo+P/4, ..., R} covering fill
                 if lo >= R:
                     return scat(R)
-                return lambda a: jax.lax.cond(fill <= lo, scat(lo),
-                                              ladder(lo + rung_step), a)
-            return ladder(rung_step)(acc)
+                return lambda ar: jax.lax.cond(fill <= lo, scat(lo),
+                                               ladder(lo + rung_step), ar)
+            return ladder(rung_step)((acc, ring))
 
         def _flush_ring(out):
             """Ring-banked variant of _flush (scatter_mode="ring").
@@ -582,16 +593,25 @@ def make_regen_integrator(settings: RenderSettings, width, height,
             n_dead = P - jnp.sum(out["active"], dtype=jnp.int32)
 
             def pre_flush(args):
-                a, f = args
-                return _ring_scatter(a, ring, f), jnp.int32(0)
+                a, r, f = args
+                a, r = _ring_scatter(a, r, f)
+                return a, r, jnp.int32(0)
 
-            acc, fill = jax.lax.cond(fill + Kr > ring.shape[0], pre_flush,
-                                     lambda args: args, (acc, fill))
+            acc, ring, fill = jax.lax.cond(fill + Kr > ring.shape[0],
+                                           pre_flush, lambda args: args,
+                                           (acc, ring, fill))
 
             def append(args):
                 a, r, f = args
                 act_w = out["active"][P - Kr:, None]
                 lw = jnp.where(act_w, 0.0, out["L"][P - Kr:])
+                # dead lanes are the pool's exact tail suffix, so within
+                # this window they are its LAST n_dead rows; after the
+                # reversal below they land first. The window's alive-lane
+                # rows (past the cursor after the copy) must be ALL-ZERO
+                # — pixel column included — to keep the ring's
+                # rows-past-fill-are-zero invariant that lets the drain
+                # scatter unmasked.
                 # pixel rides as a float VALUE, not a bitcast: pixel
                 # indices < 2^23 are DENORMAL f32 bit patterns, and the
                 # TPU flushes denormals to zero somewhere in the
@@ -600,7 +620,8 @@ def make_regen_integrator(settings: RenderSettings, width, height,
                 # path's radiance scatter-added onto pixel 0, skies went
                 # black) while every CPU test passed. Float values are
                 # exact for any pixel index < 2^24.
-                pw = out["pixel"][P - Kr:].astype(jnp.float32)
+                pw = jnp.where(out["active"][P - Kr:], 0.0,
+                               out["pixel"][P - Kr:].astype(jnp.float32))
                 win = jnp.concatenate([lw, pw[:, None]], axis=1)[::-1]
                 if settings.dup_stage == "scatter":
                     r2 = jax.lax.dynamic_update_slice(
@@ -631,7 +652,8 @@ def make_regen_integrator(settings: RenderSettings, width, height,
             return st          # raw pool state for perf probes
         if ring_mode:
             # drain what the loop banked but never had to scatter
-            st["accum"] = _ring_scatter(st["accum"], st["ring"], st["fill"])
+            st["accum"], _ = _ring_scatter(st["accum"], st["ring"],
+                                           st["fill"])
         acc_out = jnp.transpose(st["accum"].reshape(3, N))
         if with_stats:
             return acc_out, st["waves"], st["rays"]
