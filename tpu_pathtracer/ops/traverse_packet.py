@@ -79,12 +79,19 @@ def _make_step(tab_ref, anyhit, smem_tabs=None, tmin=None):
         dx, dy, dz = rays["dx"], rays["dy"], rays["dz"]
         idx_, idy, idz = rays["idx"], rays["idy"], rays["idz"]
         oodx, oody, oodz = rays["oodx"], rays["oody"], rays["oodz"]
-        act = rays["act"]
         if anyhit:
             cur, sp, hit_slot, hit_t, done = st  # done: int32 lanes (0/1)
         else:
             cur, sp, hit_slot, hit_t = st
             done = None
+        if "act" in rays:
+            act = rays["act"]
+        else:
+            # queue path: inactivity rides tmax's SIGN (inactive lanes
+            # carry hit_t = -1 < tmin; active lanes' hit_t can never
+            # drop to <= tmin because tri hits require t > tmin), so the
+            # act tile needs no operand and no per-step re-read
+            act = hit_t > tmin
         alive = cur != SENTINEL
         is_node = alive & (cur >= 0)
         is_tri = alive & (cur < 0)

@@ -80,11 +80,14 @@ def make_regen_integrator(settings: RenderSettings, width, height,
         P = N if settings.pool_lanes <= 0 else min(settings.pool_lanes, N)
         tot = jnp.uint32(N) * jnp.uint32(n_frames)  # total samples to spawn
 
-        # accum rides the loop channel-major flat (3N,): three 1-d
-        # scatter-adds cost ~21 ms/wave on v5e vs ~44 ms for one (N,3)
-        # row scatter
+        # accum rides the loop as THREE separate (N,) channel planes:
+        # a 1-d scatter-add's per-index cost is flat in target rows up to
+        # ~3M but cliffs beyond (6.8/6.9/9.6 ns at 1M/3.1M/6.3M rows,
+        # tools/probe_scatter_target.py), so three N-row planes beat both
+        # one (N,3) row scatter (~2x) and one flat (3N,) plane (+10% at
+        # 1024^2, +55% at 1080p where 3N = 6.2M rows crosses the cliff)
         st = {
-            "accum": jnp.transpose(accum).reshape(-1),
+            "accum": (accum[:, 0], accum[:, 1], accum[:, 2]),
             "waves": jnp.uint32(0),
             "rays": jnp.float32(0.0),
             "next": jnp.uint32(0),
@@ -372,13 +375,15 @@ def make_regen_integrator(settings: RenderSettings, width, height,
                 # scatter-add this wave's contributions into the image
                 # (channel-split: three 1-d scatters measured ~2x faster
                 # than one row scatter)
-                accum = accum.at[pixel].add(contrib[:, 0])
-                accum = accum.at[pixel + N].add(contrib[:, 1])
-                accum = accum.at[pixel + 2 * N].add(contrib[:, 2])
+                ar_, ag_, ab_ = accum
+                ar_ = ar_.at[pixel].add(contrib[:, 0])
+                ag_ = ag_.at[pixel].add(contrib[:, 1])
+                ab_ = ab_.at[pixel].add(contrib[:, 2])
                 if settings.dup_stage == "scatter":
-                    accum = accum.at[pixel].add(0.0 * contrib[:, 0])
-                    accum = accum.at[pixel + N].add(0.0 * contrib[:, 1])
-                    accum = accum.at[pixel + 2 * N].add(0.0 * contrib[:, 2])
+                    ar_ = ar_.at[pixel].add(0.0 * contrib[:, 0])
+                    ag_ = ag_.at[pixel].add(0.0 * contrib[:, 1])
+                    ab_ = ab_.at[pixel].add(0.0 * contrib[:, 2])
+                accum = (ar_, ag_, ab_)
             active = active & ~finished
 
             out = {
@@ -501,20 +506,18 @@ def make_regen_integrator(settings: RenderSettings, width, height,
             act_c = out["active"][:, None]
 
             def flush_window(a):
+                ar_, ag_, ab_ = a
                 lw = jnp.where(act_c[P - Kw:], 0.0, out["L"][P - Kw:])
                 pw = out["pixel"][P - Kw:]
-                a = a.at[pw].add(lw[:, 0])
-                a = a.at[pw + N].add(lw[:, 1])
-                a = a.at[pw + 2 * N].add(lw[:, 2])
-                return a
+                return (ar_.at[pw].add(lw[:, 0]), ag_.at[pw].add(lw[:, 1]),
+                        ab_.at[pw].add(lw[:, 2]))
 
             def flush_full(a):
+                ar_, ag_, ab_ = a
                 lf = jnp.where(act_c, 0.0, out["L"])
                 pf = out["pixel"]
-                a = a.at[pf].add(lf[:, 0])
-                a = a.at[pf + N].add(lf[:, 1])
-                a = a.at[pf + 2 * N].add(lf[:, 2])
-                return a
+                return (ar_.at[pf].add(lf[:, 0]), ag_.at[pf].add(lf[:, 1]),
+                        ab_.at[pf].add(lf[:, 2]))
 
             fits = (P - n_alive) <= Kw
             acc = jax.lax.cond(fits, flush_window, flush_full, acc)
@@ -549,21 +552,23 @@ def make_regen_integrator(settings: RenderSettings, width, height,
 
             def scat(w):
                 def go(args):
-                    a, r = args
+                    (ar_, ag_, ab_), r = args
                     pix = r[:w, 3].astype(jnp.int32)
                     lw = r[:w, 0:3]
-                    a = a.at[pix].add(lw[:, 0])
-                    a = a.at[pix + N].add(lw[:, 1])
-                    a = a.at[pix + 2 * N].add(lw[:, 2])
+                    ar_ = ar_.at[pix].add(lw[:, 0])
+                    ag_ = ag_.at[pix].add(lw[:, 1])
+                    ab_ = ab_.at[pix].add(lw[:, 2])
                     if settings.dup_stage == "scatter":
-                        a2 = a.at[pix].add(lw[:, 0] * 1.0000001)
-                        a2 = a2.at[pix + N].add(lw[:, 1] * 1.0000001)
-                        a2 = a2.at[pix + 2 * N].add(lw[:, 2] * 1.0000001)
-                        a = a + 0.0 * a2
+                        a2 = ar_.at[pix].add(lw[:, 0] * 1.0000001)
+                        b2 = ag_.at[pix].add(lw[:, 1] * 1.0000001)
+                        c2 = ab_.at[pix].add(lw[:, 2] * 1.0000001)
+                        ar_ = ar_ + 0.0 * a2
+                        ag_ = ag_ + 0.0 * b2
+                        ab_ = ab_ + 0.0 * c2
                     # restore the rows-past-fill-are-zero invariant for
                     # the next fill cycle (static-width prefix store)
                     r = r.at[:w].set(0.0)
-                    return a, r
+                    return (ar_, ag_, ab_), r
                 return go
 
             def ladder(lo):
@@ -631,18 +636,20 @@ def make_regen_integrator(settings: RenderSettings, width, height,
                 return a, r, f + n_dead
 
             def fallback(args):
-                a, r, f = args
+                (ar_, ag_, ab_), r, f = args
                 lf = jnp.where(out["active"][:, None], 0.0, out["L"])
                 pf = out["pixel"]
-                a = a.at[pf].add(lf[:, 0])
-                a = a.at[pf + N].add(lf[:, 1])
-                a = a.at[pf + 2 * N].add(lf[:, 2])
+                ar_ = ar_.at[pf].add(lf[:, 0])
+                ag_ = ag_.at[pf].add(lf[:, 1])
+                ab_ = ab_.at[pf].add(lf[:, 2])
                 if settings.dup_stage == "scatter":
-                    a2 = a.at[pf].add(lf[:, 0] * 1.0000001)
-                    a2 = a2.at[pf + N].add(lf[:, 1] * 1.0000001)
-                    a2 = a2.at[pf + 2 * N].add(lf[:, 2] * 1.0000001)
-                    a = a + 0.0 * a2
-                return a, r, f
+                    a2 = ar_.at[pf].add(lf[:, 0] * 1.0000001)
+                    b2 = ag_.at[pf].add(lf[:, 1] * 1.0000001)
+                    c2 = ab_.at[pf].add(lf[:, 2] * 1.0000001)
+                    ar_ = ar_ + 0.0 * a2
+                    ag_ = ag_ + 0.0 * b2
+                    ab_ = ab_ + 0.0 * c2
+                return (ar_, ag_, ab_), r, f
 
             return jax.lax.cond(n_dead <= Kr, append, fallback,
                                 (acc, ring, fill))
@@ -654,7 +661,7 @@ def make_regen_integrator(settings: RenderSettings, width, height,
             # drain what the loop banked but never had to scatter
             st["accum"], _ = _ring_scatter(st["accum"], st["ring"],
                                            st["fill"])
-        acc_out = jnp.transpose(st["accum"].reshape(3, N))
+        acc_out = jnp.stack(st["accum"], axis=1)
         if with_stats:
             return acc_out, st["waves"], st["rays"]
         return acc_out, st["waves"]
