@@ -488,13 +488,13 @@ def _queue_kernel(*refs, anyhit, stack_depth, interleave, sub, smem_table,
     if smem_table:
         (tab_smem, meta_smem, tmin_smem, ox_ref, oy_ref, oz_ref, dx_ref,
          dy_ref, dz_ref, idx_ref, idy_ref, idz_ref,
-         tmax_ref, act_ref, slot_ref, t_ref, *rest) = refs
+         tmax_ref, slot_ref, t_ref, *rest) = refs
         tab_ref = None
         smem_tabs = (tab_smem, meta_smem)
     else:
         (tab_ref, tmin_smem, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
          dz_ref, idx_ref, idy_ref, idz_ref,
-         tmax_ref, act_ref, slot_ref, t_ref, *rest) = refs
+         tmax_ref, slot_ref, t_ref, *rest) = refs
         smem_tabs = None
     if count_steps:
         nst_ref, stack_ref = rest
@@ -510,14 +510,16 @@ def _queue_kernel(*refs, anyhit, stack_depth, interleave, sub, smem_table,
         recomputed from o*idir (3 vmuls/step) instead of riding 3 more
         operands: the queue kernel re-reads rays from VMEM every step, so
         each dropped operand cuts per-step traffic AND the block's VMEM
-        footprint (15 -> 11 ray operands lets bigger queue_k fit the
-        default scoped-VMEM budget)."""
+        footprint (15 -> 10 ray operands lets bigger queue_k fit the
+        default scoped-VMEM budget). There is NO act tile: inactivity
+        rides tmax's sign (packet_intersect encodes tmax=-1 on inactive
+        lanes; the step derives act = hit_t > tmin from its carry)."""
         sl = pl.ds(pk * sub, sub)
         r = {
             "ox": ox_ref[sl, :], "oy": oy_ref[sl, :], "oz": oz_ref[sl, :],
             "dx": dx_ref[sl, :], "dy": dy_ref[sl, :], "dz": dz_ref[sl, :],
             "idx": idx_ref[sl, :], "idy": idy_ref[sl, :],
-            "idz": idz_ref[sl, :], "act": act_ref[sl, :] != 0,
+            "idz": idz_ref[sl, :],
         }
         r["oodx"] = r["ox"] * r["idx"]
         r["oody"] = r["oy"] * r["idy"]
@@ -533,9 +535,9 @@ def _queue_kernel(*refs, anyhit, stack_depth, interleave, sub, smem_table,
         # step, pop an empty stack and "just finish", which is what
         # triggers the result store and the next claim — a SENTINEL
         # start would wedge the slot (no finish edge, no claim). ht
-        # starts at plain tmax (not the fixed kernel's where(act, tmax,
-        # tmin)): inactive lanes never vote and the store masks them to
-        # tmax anyway, so outputs are bit-identical.
+        # starts at the ENCODED tmax (-1 on inactive lanes): those lanes
+        # never vote (act = ht > tmin) and packet_intersect rewrites
+        # their stored t to the caller's tmax outside the kernel.
         st = (jnp.int32(g), jnp.int32(0), jnp.int32(0),
               jnp.full((sub, 128), -1, jnp.int32), tmax_ref[sl, :])
         if anyhit:
@@ -555,7 +557,6 @@ def _queue_kernel(*refs, anyhit, stack_depth, interleave, sub, smem_table,
         nxt = c[G]
         stepped = []
         fins = []
-        acts = []
         for g in range(G):
             sl = c[g]
             pkt, cur = sl[0], sl[1]
@@ -566,22 +567,23 @@ def _queue_kernel(*refs, anyhit, stack_depth, interleave, sub, smem_table,
                 st = st + (sl[1 + ns]
                            + (cur != SENTINEL).astype(jnp.int32),)
             stepped.append(st)
-            acts.append(rays["act"])
             fins.append((new[0] == SENTINEL) & (cur != SENTINEL))
         any_fin = fins[0]
         for g in range(1, G):
             any_fin = any_fin | fins[g]
 
-        # result store for just-finished packets (masked RMW; rare)
+        # result store for just-finished packets (masked RMW; rare).
+        # hit_t is stored RAW: inactive lanes carry the -1 tmax encoding
+        # and packet_intersect restores their contract value (tmax)
+        # outside the kernel.
         @pl.when(any_fin)
         def _():
             for g in range(G):
                 sl = stepped[g]
                 out = pl.ds(sl[0] * sub, sub)
-                tv = jnp.where(acts[g], sl[4], tmax_ref[out, :])
                 slot_ref[out, :] = jnp.where(fins[g], sl[3],
                                              slot_ref[out, :])
-                t_ref[out, :] = jnp.where(fins[g], tv, t_ref[out, :])
+                t_ref[out, :] = jnp.where(fins[g], sl[4], t_ref[out, :])
                 if count_steps:
                     nst_ref[out, :] = jnp.where(
                         fins[g],
@@ -695,7 +697,11 @@ def packet_intersect(packed, orig, raydir, tmin, tmax, anyhit=False,
         # in-kernel inv(); XLA fuses this into the pad/reshape) instead of
         # recomputing 3 divides per slot per step. ood = o*idir is NOT
         # precomputed: 3 in-kernel vmuls/step are cheaper than 3 more
-        # operands' per-step VMEM re-reads + block footprint.
+        # operands' per-step VMEM re-reads + block footprint. There is no
+        # act operand at all: inactivity is encoded as tmax = -1 (an
+        # active lane's carried hit_t can never drop to <= tmin, so
+        # act == hit_t > tmin inside the step), and the inactive lanes'
+        # contract output (t = tmax) is restored after the call.
         ooeps = jnp.float32(2.0 ** -80)
 
         def inv_a(d):
@@ -703,6 +709,7 @@ def packet_intersect(packed, orig, raydir, tmin, tmax, anyhit=False,
                              jnp.where(d >= 0, ooeps, -ooeps))
             return 1.0 / safe
 
+        tmax_enc = jnp.where(act != 0, tmax_a, jnp.float32(-1.0))
         args = (
             prep(orig[:, 0], 0.0), prep(orig[:, 1], 0.0),
             prep(orig[:, 2], 0.0),
@@ -710,7 +717,7 @@ def packet_intersect(packed, orig, raydir, tmin, tmax, anyhit=False,
             prep(raydir[:, 2], 1.0),
             prep(inv_a(raydir[:, 0]), 1.0), prep(inv_a(raydir[:, 1]), 1.0),
             prep(inv_a(raydir[:, 2]), 1.0),
-            prep(tmax_a, 0.0), prep(act, 0),
+            prep(tmax_enc, -1.0),
         )
     else:
         args = (
@@ -790,8 +797,11 @@ def packet_intersect(packed, orig, raydir, tmin, tmax, anyhit=False,
                                        jnp.int32)],
             interpret=interpret, **cp,
         )(packed, tmin1, *args)
-    slot, t = outs[0], outs[1]
+    slot, t = outs[0].reshape(-1)[:N], outs[1].reshape(-1)[:N]
+    if queue and active is not None:
+        # the queue kernel stores the raw carry (inactive lanes = the -1
+        # encoding); restore the contract value t = tmax for them
+        t = jnp.where(act != 0, t, tmax_a)
     if count_steps:
-        return (slot.reshape(-1)[:N], t.reshape(-1)[:N],
-                outs[2].reshape(-1)[:N])
-    return slot.reshape(-1)[:N], t.reshape(-1)[:N]
+        return slot, t, outs[2].reshape(-1)[:N]
+    return slot, t
