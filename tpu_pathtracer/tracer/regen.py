@@ -85,9 +85,35 @@ def make_regen_integrator(settings: RenderSettings, width, height,
         # ~3M but cliffs beyond (6.8/6.9/9.6 ns at 1M/3.1M/6.3M rows,
         # tools/probe_scatter_target.py), so three N-row planes beat both
         # one (N,3) row scatter (~2x) and one flat (3N,) plane (+10% at
-        # 1024^2, +55% at 1080p where 3N = 6.2M rows crosses the cliff)
+        # 1024^2, +55% at 1080p where 3N = 6.2M rows crosses the cliff).
+        #
+        # The planes are additionally SWIZZLED: slot h(p) = (p % 1024)*B
+        # + p//1024 holds pixel p (B = ceil(N/1024)). Deaths arrive in
+        # tile-coherent bursts of near-CONSECUTIVE pixel indices, and a
+        # consecutive/duplicate-pattern scatter-add costs 8.7 ns/idx/ch
+        # on v5e vs 6.1 for a spread pattern (XLA's TPU scatter has no
+        # coalescing fast path and serializes near rows — same effect the
+        # gather probes found). The swizzle turns bursts into stride-B
+        # sequences, which measure at the full 6.1 rate; un-swizzling is
+        # one cheap (1024, B) transpose per plane per CALL, and per-pixel
+        # float add order is unchanged so results stay bit-identical.
+        _SA = 1024
+        _SB = -(-N // _SA)
+        _NS = _SA * _SB
+
+        def _swz(p):
+            return (p & (_SA - 1)) * _SB + (p >> 10)
+
+        def _scramble(c):
+            if _NS != N:
+                c = jnp.pad(c, (0, _NS - N))
+            return jnp.transpose(c.reshape(_SB, _SA)).reshape(-1)
+
+        def _unscramble(c):
+            return jnp.transpose(c.reshape(_SA, _SB)).reshape(-1)[:N]
+
         st = {
-            "accum": (accum[:, 0], accum[:, 1], accum[:, 2]),
+            "accum": tuple(_scramble(accum[:, c]) for c in range(3)),
             "waves": jnp.uint32(0),
             "rays": jnp.float32(0.0),
             "next": jnp.uint32(0),
@@ -376,13 +402,14 @@ def make_regen_integrator(settings: RenderSettings, width, height,
                 # (channel-split: three 1-d scatters measured ~2x faster
                 # than one row scatter)
                 ar_, ag_, ab_ = accum
-                ar_ = ar_.at[pixel].add(contrib[:, 0])
-                ag_ = ag_.at[pixel].add(contrib[:, 1])
-                ab_ = ab_.at[pixel].add(contrib[:, 2])
+                hp = _swz(pixel)
+                ar_ = ar_.at[hp].add(contrib[:, 0])
+                ag_ = ag_.at[hp].add(contrib[:, 1])
+                ab_ = ab_.at[hp].add(contrib[:, 2])
                 if settings.dup_stage == "scatter":
-                    ar_ = ar_.at[pixel].add(0.0 * contrib[:, 0])
-                    ag_ = ag_.at[pixel].add(0.0 * contrib[:, 1])
-                    ab_ = ab_.at[pixel].add(0.0 * contrib[:, 2])
+                    ar_ = ar_.at[hp].add(0.0 * contrib[:, 0])
+                    ag_ = ag_.at[hp].add(0.0 * contrib[:, 1])
+                    ab_ = ab_.at[hp].add(0.0 * contrib[:, 2])
                 accum = (ar_, ag_, ab_)
             active = active & ~finished
 
@@ -508,14 +535,14 @@ def make_regen_integrator(settings: RenderSettings, width, height,
             def flush_window(a):
                 ar_, ag_, ab_ = a
                 lw = jnp.where(act_c[P - Kw:], 0.0, out["L"][P - Kw:])
-                pw = out["pixel"][P - Kw:]
+                pw = _swz(out["pixel"][P - Kw:])
                 return (ar_.at[pw].add(lw[:, 0]), ag_.at[pw].add(lw[:, 1]),
                         ab_.at[pw].add(lw[:, 2]))
 
             def flush_full(a):
                 ar_, ag_, ab_ = a
                 lf = jnp.where(act_c, 0.0, out["L"])
-                pf = out["pixel"]
+                pf = _swz(out["pixel"])
                 return (ar_.at[pf].add(lf[:, 0]), ag_.at[pf].add(lf[:, 1]),
                         ab_.at[pf].add(lf[:, 2]))
 
@@ -624,9 +651,13 @@ def make_regen_integrator(settings: RenderSettings, width, height,
                 # column read back all-zero on device (every banked
                 # path's radiance scatter-added onto pixel 0, skies went
                 # black) while every CPU test passed. Float values are
-                # exact for any pixel index < 2^24.
+                # exact for any pixel index < 2^24 (the swizzled slot is
+                # < N + 1023, still well under 2^24 at any supported
+                # resolution). The ring banks the SWIZZLED slot so the
+                # drain scatters it as-is.
                 pw = jnp.where(out["active"][P - Kr:], 0.0,
-                               out["pixel"][P - Kr:].astype(jnp.float32))
+                               _swz(out["pixel"][P - Kr:])
+                               .astype(jnp.float32))
                 win = jnp.concatenate([lw, pw[:, None]], axis=1)[::-1]
                 if settings.dup_stage == "scatter":
                     r2 = jax.lax.dynamic_update_slice(
@@ -638,7 +669,7 @@ def make_regen_integrator(settings: RenderSettings, width, height,
             def fallback(args):
                 (ar_, ag_, ab_), r, f = args
                 lf = jnp.where(out["active"][:, None], 0.0, out["L"])
-                pf = out["pixel"]
+                pf = _swz(out["pixel"])
                 ar_ = ar_.at[pf].add(lf[:, 0])
                 ag_ = ag_.at[pf].add(lf[:, 1])
                 ab_ = ab_.at[pf].add(lf[:, 2])
@@ -661,7 +692,7 @@ def make_regen_integrator(settings: RenderSettings, width, height,
             # drain what the loop banked but never had to scatter
             st["accum"], _ = _ring_scatter(st["accum"], st["ring"],
                                            st["fill"])
-        acc_out = jnp.stack(st["accum"], axis=1)
+        acc_out = jnp.stack([_unscramble(c) for c in st["accum"]], axis=1)
         if with_stats:
             return acc_out, st["waves"], st["rays"]
         return acc_out, st["waves"]
