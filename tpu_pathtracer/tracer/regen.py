@@ -68,6 +68,7 @@ def make_regen_integrator(settings: RenderSettings, width, height,
     deferred = (settings.scatter_mode in ("deferred", "ring")
                 and settings.regen_order == "compact")
     ring_mode = deferred and settings.scatter_mode == "ring"
+    dense_mode = deferred and settings.dense_fresh_flush
 
     def integrate_frames(scene, cam_vec, frame0, lane0, accum, n_frames):
         N = accum.shape[0]          # pixels owned by this shard
@@ -145,6 +146,14 @@ def make_regen_integrator(settings: RenderSettings, width, height,
             # _flush_ring).
             st["ring"] = jnp.zeros((_RING_FACTOR * P, 4), jnp.float32)
             st["fill"] = jnp.int32(0)
+        if dense_mode:
+            # pixel-ordered accumulator for FIRST-SEGMENT deaths (paths
+            # that die in the wave that spawned them): within the spawn
+            # window the queue->pool mapping is affine, so these flush as
+            # one dynamic-slice ADD (bandwidth) instead of riding the
+            # ring's per-index scatter. P pad rows absorb the per-frame
+            # queue wraparound; folded back onto the head once per call.
+            st["dense"] = jnp.zeros((N + P, 3), jnp.float32)
 
         def cond(st):
             go = (st["next"] < tot) | jnp.any(st["active"])
@@ -397,7 +406,38 @@ def make_regen_integrator(settings: RenderSettings, width, height,
                 # scatter happens at path death from the compacted tail
                 # window (see the flush after the permute below)
                 ell = ell + contrib
+            if dense_mode:
+                # ---- dense fresh-death flush (first-segment deaths) ----
+                # Lanes spawned THIS wave sit in the dead-tail suffix the
+                # respawn filled: row i holds sample sid = next0 + i -
+                # (P - n_dead), so its pixel (sid % N) is AFFINE in i.
+                # Their whole-path radiance (spawned and died this wave =
+                # ell is exactly this wave's contrib) flushes as one
+                # (P,3) dynamic-slice add into the pixel-ordered dense
+                # buffer — a bandwidth op, vs the ~10 ns/idx/ch the ring
+                # drain pays per scattered index. Zeroed L + pixel keep
+                # them invisible to the ring (all-zero rows past its
+                # cursor) and the 3-class compaction key below keeps the
+                # OLD deaths an exact tail suffix so the ring's cursor
+                # advances only by their count.
+                fresh_dead = spawn & finished
+                n_fd = jnp.sum(fresh_dead, dtype=jnp.int32)
+                wv = jnp.where(fresh_dead[:, None], ell, 0.0)
+                # row 0 maps to sample next0 - (P - n_dead); add N - P
+                # (>= 0: P <= N) to keep the uint math wrap-free, then
+                # wrap mod N. Valid while total spawned samples stay
+                # under 2^32 (4.1e9 rays/call — far past any bench run).
+                base = ((st["next"] + n_dead + jnp.uint32(N - P))
+                        % jnp.uint32(N)).astype(jnp.int32)
+                ds = jax.lax.dynamic_slice(st["dense"], (base, 0), (P, 3))
+                dense_new = jax.lax.dynamic_update_slice(
+                    st["dense"], ds + wv, (base, 0))
+                ell = jnp.where(fresh_dead[:, None], 0.0, ell)
+                pixel = jnp.where(fresh_dead, 0, pixel)
             else:
+                fresh_dead = None
+                n_fd = jnp.int32(0)
+            if not deferred:
                 # scatter-add this wave's contributions into the image
                 # (channel-split: three 1-d scatters measured ~2x faster
                 # than one row scatter)
@@ -422,6 +462,8 @@ def make_regen_integrator(settings: RenderSettings, width, height,
             }
             if deferred:
                 out["L"] = ell
+            if dense_mode:
+                out["dense"] = dense_new
             if ring_mode:
                 out["ring"] = st["ring"]
                 out["fill"] = st["fill"]
@@ -449,9 +491,19 @@ def make_regen_integrator(settings: RenderSettings, width, height,
                 oct_ = ((d_[:, 0] < 0).astype(jnp.int32)
                         | ((d_[:, 1] < 0).astype(jnp.int32) << 1)
                         | ((d_[:, 2] < 0).astype(jnp.int32) << 2))
+                dead_key = jnp.int32(2 ** 30)
+                if dense_mode:
+                    # 3-class order: alive < fresh-dead < old-dead, so the
+                    # densely-flushed fresh deaths sit BETWEEN survivors
+                    # and the ring-bound old deaths — the old deaths stay
+                    # an exact tail suffix and the ring cursor advances
+                    # only by their count (fresh rows bank as zeros past
+                    # it). Next wave's respawn still sees all dead lanes
+                    # as one contiguous suffix (fresh + old).
+                    dead_key = dead_key + jnp.where(fresh_dead, 0, 1)
                 key = jnp.where(active,
                                 (jnp.maximum(hit_slot, 0) << 3) | oct_,
-                                jnp.int32(2 ** 30))
+                                dead_key)
                 src = jnp.argsort(key, stable=True).astype(jnp.int32)
                 # ONE merged row-gather moves the whole pool state: at
                 # 1M-row tables the gather cost is per-INDEX and nearly
@@ -496,7 +548,7 @@ def make_regen_integrator(settings: RenderSettings, width, height,
                     out["L"] = pmat[:, 13:16]
                     if ring_mode:
                         (out["accum"], out["ring"],
-                         out["fill"]) = _flush_ring(out)
+                         out["fill"]) = _flush_ring(out, n_fd)
                     else:
                         out["accum"] = _flush(out)
                     # flushed radiance must not flush twice: a dead lane
@@ -606,7 +658,7 @@ def make_regen_integrator(settings: RenderSettings, width, height,
                                                ladder(lo + rung_step), ar)
             return ladder(rung_step)((acc, ring))
 
-        def _flush_ring(out):
+        def _flush_ring(out, n_fd_=jnp.int32(0)):
             """Ring-banked variant of _flush (scatter_mode="ring").
 
             The compacted dead tail is a contiguous suffix, so banking it
@@ -622,7 +674,12 @@ def make_regen_integrator(settings: RenderSettings, width, height,
             queue exhaustion) bypass the ring with the full-pool direct
             scatter, exactly like _flush's fallback branch."""
             acc, ring, fill = out["accum"], out["ring"], out["fill"]
-            n_dead = P - jnp.sum(out["active"], dtype=jnp.int32)
+            # fresh deaths were densely flushed this wave (L and pixel
+            # zeroed, sorted between survivors and old deaths): the ring
+            # banks only the OLD deaths — the exact tail suffix of
+            # n_dead rows. Fresh rows inside the copied window are
+            # all-zero, so they satisfy the rows-past-fill invariant.
+            n_dead = P - jnp.sum(out["active"], dtype=jnp.int32) - n_fd_
 
             def pre_flush(args):
                 a, r, f = args
@@ -693,6 +750,14 @@ def make_regen_integrator(settings: RenderSettings, width, height,
             st["accum"], _ = _ring_scatter(st["accum"], st["ring"],
                                            st["fill"])
         acc_out = jnp.stack([_unscramble(c) for c in st["accum"]], axis=1)
+        if dense_mode:
+            # fold the queue-wrap pad rows back onto the head and add the
+            # densely-flushed first-segment radiance (pixel-ordered, so it
+            # adds straight onto the un-swizzled accum). One dense add per
+            # CALL; per-pixel add order within a frame is unchanged (each
+            # pixel's path dies exactly once per frame).
+            d = st["dense"]
+            acc_out = acc_out + d[:N].at[:P].add(d[N:N + P])
         if with_stats:
             return acc_out, st["waves"], st["rays"]
         return acc_out, st["waves"]

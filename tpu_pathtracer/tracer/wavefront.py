@@ -115,6 +115,18 @@ class RenderSettings:
     # each wave). Deferral/ring need the compaction tail
     # (regen_order="compact"); "wave" is used otherwise.
     scatter_mode: str = "ring"
+    # dense fresh-death flush: paths that die in the SAME wave that
+    # spawned them (first-segment deaths — sky-direct pixels; ~45-55% of
+    # all deaths on the demo scene) never enter the ring/scatter path at
+    # all. Within the spawn window the queue->pool mapping is affine
+    # (respawn hands dead-tail lanes consecutive sample ids), so their
+    # banked radiance rides ONE dynamic-slice add into a pixel-ordered
+    # dense buffer — bandwidth, not the ~10 ns/idx/ch per-index scatter
+    # the ring drain pays. A 3-class compaction key (alive < fresh-dead <
+    # old-dead) keeps the non-fresh deaths an exact tail suffix so the
+    # ring banks and scatters only them. Requires deferred radiance
+    # (scatter_mode "deferred"/"ring" + regen_order "compact").
+    dense_fresh_flush: bool = True
     distant_light_L: tuple = (1.2, 1.2, 1.2)      # src/renderkernel.cu:521
     distant_light_dir: tuple = (0.0, 1.3, -3.6)   # src/renderkernel.cu:522
     # traversal backend: "packet" = Pallas packet kernel (TPU),
