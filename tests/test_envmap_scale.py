@@ -45,11 +45,12 @@ def test_megapixel_envmap_end_to_end(tmp_path):
         dist = build_env_distribution(back, topk=0)   # full 2M-texel table
         dt_full = min(dt_full, time.process_time() - t0)
     assert dist["env_alias"].shape[0] == 2048 * 1024
-    # 1.5 s bound: typical is ~0.7 s CPU but cache pressure from a
-    # concurrent TPU bench on the same box inflates even process_time
-    # (measured 1.04 s once) — the interpreted fallback this guards
-    # against takes MINUTES, so the margin stays discriminating
-    assert dt_full < 1.5, "full-table alias build took %.2fs" % dt_full
+    # 5 s bound: typical is ~0.7 s CPU but cache/memory pressure from a
+    # concurrent TPU bench or profiler run on the same box inflates even
+    # process_time (measured 1.04 s and >1.5 s under load) — the
+    # interpreted fallback this guards against takes MINUTES, so even a
+    # wide margin stays discriminating
+    assert dt_full < 5.0, "full-table alias build took %.2fs" % dt_full
 
     # full render path with the 2M-texel env + default top-k NEE
     mesh = procedural.make_test_scene()

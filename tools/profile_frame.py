@@ -70,6 +70,8 @@ def collect(logdir):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--wh", type=int, default=1024)
+    ap.add_argument("--w", type=int, default=0, help="width (0 = --wh)")
+    ap.add_argument("--h", type=int, default=0, help="height (0 = --wh)")
     ap.add_argument("--frames", type=int, nargs=2, default=(1, 5))
     ap.add_argument("--top", type=int, default=30)
     ap.add_argument("--demo", default="default")
@@ -83,7 +85,8 @@ def main():
 
     fb, mats, envmap, texture = testobj_scene(cache_dir=".bvh_cache",
                                               variant=args.demo)
-    W = H = args.wh
+    W = args.w or args.wh
+    H = args.h or args.wh
     r = Renderer(fb, mats, envmap=envmap, texture=texture, width=W, height=H)
     cv = jnp.asarray(default_camera(W, H).build_render_camera().as_array())
     fn = jax.jit(make_regen_integrator(r.settings, W, H),
