@@ -127,6 +127,25 @@ def main():
     ah_agree = float(((np.asarray(ahs) >= 0) == (bt >= 0)).mean())
     assert ah_agree > 0.999, (
         "anyhit kernel wrong on device: %.4f agreement" % ah_agree)
+    # the prefix-act queue kernel (the regen ext trace's actual
+    # specialization: tmax operand dropped, act/tmax derived from SMEM
+    # scalars + lane iota) is its own Mosaic program — gate it too, with
+    # a prefix that splits a lane row
+    n_pref = 397
+    pfs, pft = packet_intersect(packed, jnp.asarray(co), jnp.asarray(cd),
+                                RAY_MIN, RAY_MAX, stack_depth=sd,
+                                tile_sub=d_sub, interleave=d_il,
+                                queue_k=_d_qk,
+                                active_prefix=jnp.int32(n_pref))
+    pfs = np.asarray(pfs)
+    pft = np.asarray(pft)
+    ours = np.where(pfs >= 0, fb.tri_orig[np.maximum(pfs, 0)], -1)
+    pf_agree = float((ours[:n_pref] == bt[:n_pref]).mean())
+    assert pf_agree > 0.999, (
+        "prefix-act queue kernel wrong on device: %.4f agreement"
+        % pf_agree)
+    assert (pfs[n_pref:] == -1).all() and (pft[n_pref:] >= RAY_MAX).all(), \
+        "prefix-act queue kernel: lanes past the prefix must be inactive"
 
     # ---------------- on-device INTEGRATOR correctness gate ----------------
     # CPU tests cannot catch TPU-only numeric semantics: the ring flush

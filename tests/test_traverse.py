@@ -251,3 +251,58 @@ def test_packet_queue_matches_fixed(scene):
             per = ns[:full].reshape(-1, 8 * 128)
             assert (per == per[:, :1]).all()
             assert per[1, 0] == 1       # dead packet burns exactly 1 step
+
+
+def test_packet_queue_active_prefix_matches_mask(scene):
+    """active_prefix=n (the regen pool's compaction invariant: active set
+    is the exact lane prefix) must be bit-identical to the equivalent
+    explicit mask on the closest-hit queue path — the prefix path drops
+    the tmax operand and derives act/tmax from SMEM scalars + a lane
+    iota inside the kernel. Non-queue / anyhit configs silently lower
+    the prefix to a mask; check those compose too. (bench.py re-gates
+    the prefix kernel specialization on the real device.)"""
+    from tpu_pathtracer.tracer.traverse import pack_stream
+    from tpu_pathtracer.ops.traverse_packet import packet_intersect
+    from tpu_pathtracer.core.vecmath import RAY_MIN, RAY_MAX
+    import pytest
+
+    mesh, fb = scene
+    packed = jnp.asarray(pack_stream(fb.prims, fb.meta))
+    n = 5 * 1024 + 512               # padded tail at queue_k=4
+    orig, d = _random_rays(n, 41)
+    sd = fb.max_depth + 2
+    # a prefix that splits a packet AND a lane row (not a multiple of 128)
+    for n_act in (n, 3 * 1024 + 77, 0):
+        mask = jnp.asarray((np.arange(n) < n_act).astype(np.int32))
+        for qk in (4, 0):            # queue path + fixed-grouping fallback
+            s0, t0 = packet_intersect(packed, jnp.asarray(orig),
+                                      jnp.asarray(d), RAY_MIN, RAY_MAX,
+                                      stack_depth=sd, tile_sub=8,
+                                      interleave=2, queue_k=qk,
+                                      active=mask, interpret=True)
+            s1, t1 = packet_intersect(packed, jnp.asarray(orig),
+                                      jnp.asarray(d), RAY_MIN, RAY_MAX,
+                                      stack_depth=sd, tile_sub=8,
+                                      interleave=2, queue_k=qk,
+                                      active_prefix=jnp.int32(n_act),
+                                      interpret=True)
+            np.testing.assert_array_equal(np.asarray(s0), np.asarray(s1))
+            np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+    # anyhit lowers the prefix to a mask (no prefix kernel exists there)
+    sa, ta = packet_intersect(packed, jnp.asarray(orig), jnp.asarray(d),
+                              RAY_MIN, RAY_MAX, anyhit=True, stack_depth=sd,
+                              tile_sub=8, interleave=2, queue_k=4,
+                              active_prefix=jnp.int32(2048), interpret=True)
+    sm, tm = packet_intersect(packed, jnp.asarray(orig), jnp.asarray(d),
+                              RAY_MIN, RAY_MAX, anyhit=True, stack_depth=sd,
+                              tile_sub=8, interleave=2, queue_k=4,
+                              active=jnp.asarray(
+                                  (np.arange(n) < 2048).astype(np.int32)),
+                              interpret=True)
+    np.testing.assert_array_equal(np.asarray(ta) > 1e10,
+                                  np.asarray(tm) > 1e10)
+    with pytest.raises(ValueError, match="not both"):
+        packet_intersect(packed, jnp.asarray(orig), jnp.asarray(d),
+                         RAY_MIN, RAY_MAX, stack_depth=sd, queue_k=4,
+                         tile_sub=8, interleave=2, active=mask,
+                         active_prefix=jnp.int32(7), interpret=True)

@@ -47,7 +47,8 @@ SENTINEL = np.int32(0x76543210)
 F32_BIG = np.float32(1e30)
 
 
-def _make_step(tab_ref, anyhit, smem_tabs=None, tmin=None):
+def _make_step(tab_ref, anyhit, smem_tabs=None, tmin=None,
+               anyhit_early_stop=True):
     """Returns step(state, stack_ref, base, rays) -> state for ONE packet.
     rays: dict of per-lane (SUB,128) arrays + precomputed idir/ood — passed
     per call so the queue kernel can swap ray sets when a slot claims a new
@@ -190,7 +191,14 @@ def _make_step(tab_ref, anyhit, smem_tabs=None, tmin=None):
             # `done` is carried as int32: Mosaic fails to legalize i1 vector
             # loop carries (scf.yield layout error)
             done = done | tri_hit.astype(jnp.int32)
-            tri_stop = tri_last | ~jnp.any(act & (done == 0))
+            if anyhit_early_stop:
+                # all-lanes-done early exit: a full cross-lane reduction
+                # on EVERY tri step (72% of steps) buys earlier packet
+                # termination — A/B-able because the reduce sits on the
+                # scalar critical path
+                tri_stop = tri_last | ~jnp.any(act & (done == 0))
+            else:
+                tri_stop = tri_last
         else:
             tri_stop = tri_last
 
@@ -370,7 +378,7 @@ def _make_step_branch(tab_ref, rays, anyhit, smem_tabs=None, tmin=None):
 
 
 def _kernel(*refs, anyhit, stack_depth, interleave, sub, smem_table,
-            step_mode="fused", count_steps=False):
+            step_mode="fused", anyhit_early_stop=True, count_steps=False):
     if smem_table:
         (tab_smem, meta_smem, tmin_smem, ox_ref, oy_ref, oz_ref, dx_ref,
          dy_ref, dz_ref, tmax_ref, act_ref, slot_ref, t_ref,
@@ -399,7 +407,8 @@ def _kernel(*refs, anyhit, stack_depth, interleave, sub, smem_table,
     steps = []
     rays_l = []
     fused_step = _make_step(tab_ref, anyhit, smem_tabs=smem_tabs,
-                            tmin=tmin)
+                            tmin=tmin,
+                            anyhit_early_stop=anyhit_early_stop)
     for g in range(G):
         sl = pl.ds(g * sub, sub)
         rays = {}
@@ -464,7 +473,8 @@ def _kernel(*refs, anyhit, stack_depth, interleave, sub, smem_table,
 
 
 def _queue_kernel(*refs, anyhit, stack_depth, interleave, sub, smem_table,
-                  queue_k, count_steps=False):
+                  queue_k, prefix_act=False, anyhit_early_stop=True,
+                  count_steps=False):
     """Work-queue variant of _kernel: one instance owns `queue_k`
     consecutive packets and `interleave` step slots; when a slot's packet
     finishes it CLAIMS the instance's next unclaimed packet (greedy list
@@ -484,17 +494,38 @@ def _queue_kernel(*refs, anyhit, stack_depth, interleave, sub, smem_table,
     packet cursor (idir/ood arrive precomputed as extra inputs so no
     per-step divides), the claim is branch-free scalar logic, and only
     the result store for a just-finished packet sits under a pl.when
-    taken on ~2-3% of iterations."""
+    taken on ~2-3% of iterations.
+
+    prefix_act=True (closest-hit only): the caller guarantees the active
+    set is an exact lane PREFIX with one scalar tmax (the regen pool after
+    compaction + rank-ordered respawn). The tmax operand disappears: the
+    encoded tmax tile (tmax on active lanes, -1 past the prefix) is
+    derived from a loop-invariant lane iota + two SMEM scalars, removing
+    one of the 10 per-step (sub,128) VMEM re-reads (the claim logic read
+    the tmax tile EVERY iteration) and the caller's full-width tmax_enc
+    prep fusion."""
     if smem_table:
-        (tab_smem, meta_smem, tmin_smem, ox_ref, oy_ref, oz_ref, dx_ref,
-         dy_ref, dz_ref, idx_ref, idy_ref, idz_ref,
-         tmax_ref, slot_ref, t_ref, *rest) = refs
+        if prefix_act:
+            (tab_smem, meta_smem, tmin_smem, ox_ref, oy_ref, oz_ref,
+             dx_ref, dy_ref, dz_ref, idx_ref, idy_ref, idz_ref,
+             slot_ref, t_ref, *rest) = refs
+            tmax_ref = None
+        else:
+            (tab_smem, meta_smem, tmin_smem, ox_ref, oy_ref, oz_ref,
+             dx_ref, dy_ref, dz_ref, idx_ref, idy_ref, idz_ref,
+             tmax_ref, slot_ref, t_ref, *rest) = refs
         tab_ref = None
         smem_tabs = (tab_smem, meta_smem)
     else:
-        (tab_ref, tmin_smem, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
-         dz_ref, idx_ref, idy_ref, idz_ref,
-         tmax_ref, slot_ref, t_ref, *rest) = refs
+        if prefix_act:
+            (tab_ref, tmin_smem, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
+             dz_ref, idx_ref, idy_ref, idz_ref,
+             slot_ref, t_ref, *rest) = refs
+            tmax_ref = None
+        else:
+            (tab_ref, tmin_smem, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
+             dz_ref, idx_ref, idy_ref, idz_ref,
+             tmax_ref, slot_ref, t_ref, *rest) = refs
         smem_tabs = None
     if count_steps:
         nst_ref, stack_ref = rest
@@ -504,6 +535,23 @@ def _queue_kernel(*refs, anyhit, stack_depth, interleave, sub, smem_table,
     K = queue_k
     ns = 5 if anyhit else 4           # step-state arity
     tmin = tmin_smem[0]               # loop-invariant scalar
+    if prefix_act:
+        # lane-prefix activity: tmax + active count ride SMEM scalars;
+        # the encoded tmax tile is iota arithmetic (f32 lane ids are
+        # exact: pool lanes < 2^24 at every supported config)
+        tmax_s = tmin_smem[1]
+        # n_act rides the f32 scalar block (exact < 2^24); compare in int
+        # (Mosaic's tpu.iota is integer-only)
+        n_act = tmin_smem[2].astype(jnp.int32)
+        lane_iota = (jax.lax.broadcasted_iota(jnp.int32, (sub, 128), 0)
+                     * 128
+                     + jax.lax.broadcasted_iota(jnp.int32, (sub, 128), 1))
+        tile0 = pl.program_id(0)
+
+        def enc_tmax(pk):
+            base = (tile0 * K + pk) * (sub * 128)
+            return jnp.where(lane_iota + base < n_act, tmax_s,
+                             jnp.float32(-1.0))
 
     def load_rays(pk):
         """pk: scalar packet index within the block (dynamic). ood is
@@ -526,7 +574,8 @@ def _queue_kernel(*refs, anyhit, stack_depth, interleave, sub, smem_table,
         r["oodz"] = r["oz"] * r["idz"]
         return r
 
-    step = _make_step(tab_ref, anyhit, smem_tabs=smem_tabs, tmin=tmin)
+    step = _make_step(tab_ref, anyhit, smem_tabs=smem_tabs, tmin=tmin,
+                      anyhit_early_stop=anyhit_early_stop)
 
     slots0 = []
     for g in range(G):
@@ -538,8 +587,9 @@ def _queue_kernel(*refs, anyhit, stack_depth, interleave, sub, smem_table,
         # starts at the ENCODED tmax (-1 on inactive lanes): those lanes
         # never vote (act = ht > tmin) and packet_intersect rewrites
         # their stored t to the caller's tmax outside the kernel.
+        ht0 = enc_tmax(jnp.int32(g)) if prefix_act else tmax_ref[sl, :]
         st = (jnp.int32(g), jnp.int32(0), jnp.int32(0),
-              jnp.full((sub, 128), -1, jnp.int32), tmax_ref[sl, :])
+              jnp.full((sub, 128), -1, jnp.int32), ht0)
         if anyhit:
             st = st + (jnp.zeros((sub, 128), jnp.int32),)
         if count_steps:
@@ -591,16 +641,18 @@ def _queue_kernel(*refs, anyhit, stack_depth, interleave, sub, smem_table,
                         nst_ref[out, :])
 
         # branch-free claim: scalar cursor bump + state re-init selects.
-        # The tmax re-read at the (possibly new) packet runs every
-        # iteration — when no claim happened it reloads the old packet's
-        # tmax and the where discards it.
+        # The tmax re-derivation at the (possibly new) packet runs every
+        # iteration — when no claim happened it recomputes the old
+        # packet's tmax and the where discards it. On the prefix_act path
+        # this is iota arithmetic; otherwise a (sub,128) VMEM re-read.
         out = []
         for g in range(G):
             sl = stepped[g]
             want = fins[g] & (nxt < K)
             pkt = jnp.where(want, nxt, sl[0])
             nxt = nxt + want.astype(jnp.int32)
-            tmax_new = tmax_ref[pl.ds(pkt * sub, sub), :]
+            tmax_new = (enc_tmax(pkt) if prefix_act
+                        else tmax_ref[pl.ds(pkt * sub, sub), :])
             st = (pkt,
                   jnp.where(want, jnp.int32(0), sl[1]),
                   jnp.where(want, jnp.int32(0), sl[2]),
@@ -627,9 +679,10 @@ _SMEM_TABLE_BUDGET_BYTES = 700_000
 
 
 def packet_intersect(packed, orig, raydir, tmin, tmax, anyhit=False,
-                     stack_depth=64, active=None, tile_sub=8, interleave=4,
+                     stack_depth=64, active=None, active_prefix=None,
+                     tile_sub=8, interleave=4,
                      table_mem="auto", step_mode="fused", count_steps=False,
-                     queue_k=0, interpret=False):
+                     queue_k=0, anyhit_early_stop=True, interpret=False):
     """Packet-traverse rays against the packed (K,16) primitive stream.
 
     orig/raydir: [N,3]; N is padded to tile_sub*interleave*128 internally.
@@ -652,8 +705,30 @@ def packet_intersect(packed, orig, raydir, tmin, tmax, anyhit=False,
     owns queue_k consecutive packets and `interleave` step slots that
     claim packets greedily — see _queue_kernel. queue_k <= interleave (or
     0) keeps the fixed grouping.
+
+    active_prefix (mutually exclusive with `active`): a traced int32
+    scalar asserting the active set is the exact lane prefix [0, n).
+    On the closest-hit queue path this drops the tmax operand entirely —
+    act/tmax derive from SMEM scalars + a loop-invariant lane iota, so
+    the claim logic stops re-reading a (sub,128) tmax tile every step
+    and the caller's full-width tmax_enc prep fusion disappears. The
+    regen integrator's compacted pool satisfies the prefix invariant by
+    construction (survivor compaction + rank-ordered respawn). Other
+    configs (anyhit, fixed grouping, per-lane tmax) silently lower it to
+    an equivalent mask.
     """
     N = orig.shape[0]
+    if active_prefix is not None:
+        if active is not None:
+            raise ValueError("pass active or active_prefix, not both")
+        use_prefix = queue_k > interleave and not anyhit
+        if not use_prefix:
+            active = (jnp.arange(N, dtype=jnp.int32)
+                      < jnp.asarray(active_prefix, jnp.int32))
+            active_prefix = None
+    use_prefix = active_prefix is not None
+    if use_prefix and jnp.ndim(tmax) != 0:
+        raise ValueError("active_prefix requires a scalar tmax")
     LANES = 128
     K = packed.shape[0]
     if jnp.ndim(tmin) != 0:
@@ -686,7 +761,15 @@ def packet_intersect(packed, orig, raydir, tmin, tmax, anyhit=False,
             x = jnp.pad(x, (0, Np - N), constant_values=fill)
         return x.reshape(rows, LANES)
 
-    tmin1 = jnp.asarray(tmin, jnp.float32).reshape(1)
+    if use_prefix:
+        # tmin / tmax / active-prefix count ride ONE SMEM scalar vector
+        # (prefix counts < 2^24 are exact as f32 — enforced by the pool
+        # sizes every caller uses)
+        tmin1 = jnp.stack([jnp.asarray(tmin, jnp.float32),
+                           jnp.asarray(tmax, jnp.float32),
+                           jnp.asarray(active_prefix).astype(jnp.float32)])
+    else:
+        tmin1 = jnp.asarray(tmin, jnp.float32).reshape(1)
     tmax_a = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (N,))
     act = (jnp.ones((N,), jnp.int32) if active is None
            else active.astype(jnp.int32))
@@ -709,7 +792,6 @@ def packet_intersect(packed, orig, raydir, tmin, tmax, anyhit=False,
                              jnp.where(d >= 0, ooeps, -ooeps))
             return 1.0 / safe
 
-        tmax_enc = jnp.where(act != 0, tmax_a, jnp.float32(-1.0))
         args = (
             prep(orig[:, 0], 0.0), prep(orig[:, 1], 0.0),
             prep(orig[:, 2], 0.0),
@@ -717,8 +799,10 @@ def packet_intersect(packed, orig, raydir, tmin, tmax, anyhit=False,
             prep(raydir[:, 2], 1.0),
             prep(inv_a(raydir[:, 0]), 1.0), prep(inv_a(raydir[:, 1]), 1.0),
             prep(inv_a(raydir[:, 2]), 1.0),
-            prep(tmax_enc, -1.0),
         )
+        if not use_prefix:
+            tmax_enc = jnp.where(act != 0, tmax_a, jnp.float32(-1.0))
+            args = args + (prep(tmax_enc, -1.0),)
     else:
         args = (
             prep(orig[:, 0], 0.0), prep(orig[:, 1], 0.0), prep(orig[:, 2], 0.0),
@@ -739,13 +823,16 @@ def packet_intersect(packed, orig, raydir, tmin, tmax, anyhit=False,
                                  stack_depth=stack_depth,
                                  interleave=interleave, sub=tile_sub,
                                  smem_table=(table_mem == "smem"),
-                                 queue_k=queue_k, count_steps=count_steps)
+                                 queue_k=queue_k, prefix_act=use_prefix,
+                                 anyhit_early_stop=anyhit_early_stop,
+                                 count_steps=count_steps)
     else:
         kern = functools.partial(_kernel, anyhit=anyhit,
                                  stack_depth=stack_depth,
                                  interleave=interleave, sub=tile_sub,
                                  smem_table=(table_mem == "smem"),
                                  step_mode=step_mode,
+                                 anyhit_early_stop=anyhit_early_stop,
                                  count_steps=count_steps)
     if table_mem == "smem":
         # flattened f32 box/woop columns + i32 meta as scalar-prefetch
@@ -780,7 +867,7 @@ def packet_intersect(packed, orig, raydir, tmin, tmax, anyhit=False,
                                 memory_space=pltpu.VMEM)
         tab_spec = pl.BlockSpec(packed.shape, lambda i: (0, 0),
                                 memory_space=pltpu.VMEM)
-        tmin_spec = pl.BlockSpec((1,), lambda i: (0,),
+        tmin_spec = pl.BlockSpec((tmin1.shape[0],), lambda i: (0,),
                                  memory_space=pltpu.SMEM)
         cp = {}
         if (queue and (blk * LANES * 4 * (len(args) + n_out) * 2
@@ -802,6 +889,9 @@ def packet_intersect(packed, orig, raydir, tmin, tmax, anyhit=False,
         # the queue kernel stores the raw carry (inactive lanes = the -1
         # encoding); restore the contract value t = tmax for them
         t = jnp.where(act != 0, t, tmax_a)
+    elif use_prefix:
+        t = jnp.where(jnp.arange(N, dtype=jnp.int32)
+                      < jnp.asarray(active_prefix, jnp.int32), t, tmax_a)
     if count_steps:
         return slot, t, outs[2].reshape(-1)[:N]
     return slot, t

@@ -218,14 +218,24 @@ def make_regen_integrator(settings: RenderSettings, width, height,
             # ---------------- one wavefront segment ----------------
             # a single wave-level RNG draw keeps lanes independent; all
             # draws below consume the per-lane stream exactly like the
-            # classic integrator
+            # classic integrator.
+            # In compact mode the active set is an exact lane PREFIX
+            # (survivors compacted to the front, respawn fills the dead
+            # tail in rank order), so the trace gets the count as a
+            # scalar — the packet queue kernel then derives act/tmax
+            # in-register instead of re-reading a tmax tile every step.
+            n_act = None
+            if settings.regen_order == "compact":
+                n_act = (jnp.uint32(P) - n_dead
+                         + (nxt - st["next"])).astype(jnp.int32)
             hit_slot, hit_t = trace_rays(scene, settings, orig, raydir,
                                          RAY_MIN, RAY_MAX, anyhit=False,
-                                         active=active)
+                                         active=active, active_prefix=n_act)
             if settings.dup_stage == "ext_trace":
                 _, ht2 = trace_rays(scene, settings, orig, raydir,
                                     RAY_MIN * 1.0000001, RAY_MAX,
-                                    anyhit=False, active=active)
+                                    anyhit=False, active=active,
+                                    active_prefix=n_act)
                 hit_t = hit_t + 0.0 * ht2
 
             if settings.has_media:

@@ -179,24 +179,51 @@ class RenderSettings:
     # 183.7/— at k=64, 179.9 at k=96; k=192/256 lose again (194.0/194.9,
     # the raised VMEM cap costs more than the smaller tax saves).
     packet_queue_k: int = 128
+    # extension-trace active set as a lane-PREFIX count: the regen pool is
+    # an exact prefix after compaction + rank-ordered respawn, so the
+    # queue kernel derives act/tmax from two SMEM scalars + a
+    # loop-invariant lane iota instead of re-reading a (sub,128) tmax tile
+    # per slot-step (1 of 10 per-step VMEM loads) — and the caller's
+    # full-width tmax_enc prep fusion disappears. Off = round-3 behavior
+    # (tmax operand). Only affects the closest-hit queue path.
+    trace_active_prefix: bool = True
+    # anyhit (NEE shadow) packets stop as soon as every lane has found an
+    # occluder — a full cross-lane reduction on EVERY tri step (72% of
+    # steps). Off trades later packet termination for a cheaper step;
+    # results are bit-identical either way (a done lane never votes).
+    anyhit_early_stop: bool = True
 
 
 def trace_rays(scene, settings: RenderSettings, orig, raydir, tmin, tmax,
-               anyhit=False, active=None):
+               anyhit=False, active=None, active_prefix=None):
     """Traversal dispatch: Pallas packet kernel on TPU, pure-JAX step
-    machine elsewhere."""
+    machine elsewhere.
+
+    active_prefix: optional traced scalar asserting the active set is the
+    exact lane prefix [0, n) (the regen pool's compaction + rank-ordered
+    respawn invariant). The packet queue kernel exploits it to drop its
+    tmax operand (one fewer per-step VMEM re-read); other paths use the
+    plain `active` mask, which the caller must still pass."""
     mode = settings.traversal
     if mode == "auto":
         mode = "packet" if jax.default_backend() == "tpu" else "wavefront"
     if mode == "packet" and "packed" in scene:
         from ..ops.traverse_packet import packet_intersect
+        use_prefix = (active_prefix is not None and not anyhit
+                      and settings.trace_active_prefix
+                      and settings.packet_queue_k
+                      > settings.packet_interleave
+                      and jnp.ndim(tmax) == 0)
         return packet_intersect(
             scene["packed"], orig, raydir, tmin, tmax, anyhit=anyhit,
-            stack_depth=settings.stack_depth, active=active,
+            stack_depth=settings.stack_depth,
+            active=None if use_prefix else active,
+            active_prefix=active_prefix if use_prefix else None,
             tile_sub=settings.packet_tile_sub,
             interleave=settings.packet_interleave,
             step_mode=settings.packet_step,
-            queue_k=settings.packet_queue_k)
+            queue_k=settings.packet_queue_k,
+            anyhit_early_stop=settings.anyhit_early_stop)
     return intersect_scene(
         scene["prims"], scene["meta"], scene["num_nodes"], orig, raydir,
         tmin, tmax, anyhit=anyhit, stack_depth=settings.stack_depth,
