@@ -503,7 +503,15 @@ def _queue_kernel(*refs, anyhit, stack_depth, interleave, sub, smem_table,
     derived from a loop-invariant lane iota + two SMEM scalars, removing
     one of the 10 per-step (sub,128) VMEM re-reads (the claim logic read
     the tmax tile EVERY iteration) and the caller's full-width tmax_enc
-    prep fusion."""
+    prep fusion.
+
+    (A packed-rays variant — all 9 ray channels in ONE packet-major
+    operand so the per-step re-read is a single (9*sub,128) dynamic
+    slice instead of 9 separately-addressed ones — was built, verified
+    bit-exact on device, and measured WORSE in situ: 156.1 vs 153.0
+    ms/frame at 1024^2. Mosaic prefers 9 small dynamic slices to one
+    wide one; per-step dynamic addressing is not the queue kernel's
+    overhead. Reverted — code in git history.)"""
     if smem_table:
         if prefix_act:
             (tab_smem, meta_smem, tmin_smem, ox_ref, oy_ref, oz_ref,
@@ -562,13 +570,11 @@ def _queue_kernel(*refs, anyhit, stack_depth, interleave, sub, smem_table,
         default scoped-VMEM budget). There is NO act tile: inactivity
         rides tmax's sign (packet_intersect encodes tmax=-1 on inactive
         lanes; the step derives act = hit_t > tmin from its carry)."""
+        names = ("ox", "oy", "oz", "dx", "dy", "dz", "idx", "idy", "idz")
         sl = pl.ds(pk * sub, sub)
-        r = {
-            "ox": ox_ref[sl, :], "oy": oy_ref[sl, :], "oz": oz_ref[sl, :],
-            "dx": dx_ref[sl, :], "dy": dy_ref[sl, :], "dz": dz_ref[sl, :],
-            "idx": idx_ref[sl, :], "idy": idy_ref[sl, :],
-            "idz": idz_ref[sl, :],
-        }
+        chans = (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                 idx_ref, idy_ref, idz_ref)
+        r = {nm: ref[sl, :] for nm, ref in zip(names, chans)}
         r["oodx"] = r["ox"] * r["idx"]
         r["oody"] = r["oy"] * r["idy"]
         r["oodz"] = r["oz"] * r["idz"]

@@ -642,6 +642,12 @@ def make_regen_integrator(settings: RenderSettings, width, height,
             def scat(w):
                 def go(args):
                     (ar_, ag_, ab_), r = args
+                    # (an optimization_barrier forcing the f32->int cast
+                    # to materialize OUTSIDE the scatter fusion — chasing
+                    # the profiler's 10.4-vs-6.5 ns/idx index-derivation
+                    # sensitivity — measured WORSE: 159.5/430.1 vs
+                    # 153.0/425.4 ms/frame at 1024^2/1080p; the round
+                    # trip costs more than the fusion split saves)
                     pix = r[:w, 3].astype(jnp.int32)
                     lw = r[:w, 0:3]
                     ar_ = ar_.at[pix].add(lw[:, 0])

@@ -189,9 +189,13 @@ class RenderSettings:
     trace_active_prefix: bool = True
     # anyhit (NEE shadow) packets stop as soon as every lane has found an
     # occluder — a full cross-lane reduction on EVERY tri step (72% of
-    # steps). Off trades later packet termination for a cheaper step;
-    # results are bit-identical either way (a done lane never votes).
-    anyhit_early_stop: bool = True
+    # steps). Off (default) trades later packet termination for a cheaper
+    # step and WINS on the real population: 436.1 -> 425.4 ms/frame at
+    # 1080p, 160.4 -> 158.7 at 1024^2 (the reduce sits on the scalar
+    # critical path; once every lane is done the votes are empty and the
+    # packet pops out in a few cheap steps anyway). Results are
+    # bit-identical either way (a done lane never votes).
+    anyhit_early_stop: bool = False
 
 
 def trace_rays(scene, settings: RenderSettings, orig, raydir, tmin, tmax,
