@@ -69,6 +69,13 @@ def make_regen_integrator(settings: RenderSettings, width, height,
                 and settings.regen_order == "compact")
     ring_mode = deferred and settings.scatter_mode == "ring"
     dense_mode = deferred and settings.dense_fresh_flush
+    # (Carrying the pool as ONE (P,16) matrix — the permute's gather
+    # output — to kill the four per-wave {1,0}->{0,1} carry layout
+    # copies (~0.9 ms each at 1M lanes) was built, CPU-bit-exact, and
+    # measured MUCH worse on device: 184.5 vs 159.2 ms/frame at 1024^2,
+    # 511.2 vs 419.2 at 1080p — XLA assigns the carry a {0,1} layout
+    # anyway and repays the transposes with interest at the unpack.
+    # Reverted; code in git history.)
 
     def integrate_frames(scene, cam_vec, frame0, lane0, accum, n_frames):
         N = accum.shape[0]          # pixels owned by this shard
@@ -113,11 +120,17 @@ def make_regen_integrator(settings: RenderSettings, width, height,
         def _unscramble(c):
             return jnp.transpose(c.reshape(_SA, _SB)).reshape(-1)[:N]
 
+        bc_f = lambda v: jax.lax.bitcast_convert_type(v, jnp.float32)
+        bc_i = lambda v: jax.lax.bitcast_convert_type(v, jnp.int32)
+
         st = {
             "accum": tuple(_scramble(accum[:, c]) for c in range(3)),
             "waves": jnp.uint32(0),
             "rays": jnp.float32(0.0),
             "next": jnp.uint32(0),
+            # popcount(active) carried as a scalar (compact mode reads it
+            # instead of re-reducing the mask every wave)
+            "alive": jnp.uint32(0),
             "active": jnp.zeros((P,), bool),
             "orig": jnp.zeros((P, 3), jnp.float32),
             "dir": jnp.zeros((P, 3), jnp.float32).at[:, 2].set(1.0),
@@ -156,7 +169,13 @@ def make_regen_integrator(settings: RenderSettings, width, height,
             st["dense"] = jnp.zeros((N + P, 3), jnp.float32)
 
         def cond(st):
-            go = (st["next"] < tot) | jnp.any(st["active"])
+            if settings.regen_order == "compact":
+                # popcount(active) rides the loop as a SCALAR (see body:
+                # spawn/death counts are closed-form), so the classic
+                # any() full-width reduce disappears
+                go = (st["next"] < tot) | (st["alive"] > 0)
+            else:
+                go = (st["next"] < tot) | jnp.any(st["active"])
             if stop_after_waves:
                 # diagnostic hook (perf probes): freeze the pool after k
                 # waves so the mid-frame ray population can be measured
@@ -166,24 +185,36 @@ def make_regen_integrator(settings: RenderSettings, width, height,
 
         def body(st):
             accum = st["accum"]
-            active = st["active"]
+            src_st = st
+            active = src_st["active"]
 
             # ------------- respawn dead lanes (global queue) -------------
+            # in compact mode EVERY per-wave population count is a scalar:
+            # popcount(active) is carried in the state ("alive"), dead
+            # lanes are an exact tail suffix (rank is iota arithmetic),
+            # and the spawn count is min(queue remainder, n_dead) — so
+            # the respawn pass does ZERO full-width reductions (the
+            # classic form paid sum(dead) + sum(spawn) + sum(active) +
+            # a cond any() per wave, ~0.3-0.5 ms each at 1M lanes).
             dead = ~active
             du = dead.astype(jnp.uint32)
             if settings.regen_order == "compact":
-                # compaction leaves dead lanes as an exact tail suffix, so
-                # the respawn rank is closed-form — no cumsum pass
-                n_dead = jnp.sum(du, dtype=jnp.uint32)
+                n_dead = jnp.uint32(P) - st["alive"]
                 iota = jnp.arange(P, dtype=jnp.uint32)
                 rank = jnp.where(dead, iota - (jnp.uint32(P) - n_dead), 0)
+                rem = jnp.where(st["next"] < tot, tot - st["next"],
+                                jnp.uint32(0))
+                n_spawn = jnp.minimum(rem, n_dead)
             else:
                 rank = jnp.cumsum(du) - du          # exclusive
             sid = st["next"] + rank                 # (N,)
             spawn = dead & (sid < tot)
             pixel_new = (sid % jnp.uint32(N)).astype(jnp.int32)
             frame_new = frame0 + (sid // jnp.uint32(N)).astype(jnp.uint32)
-            nxt = st["next"] + jnp.sum(spawn, dtype=jnp.uint32)
+            if settings.regen_order == "compact":
+                nxt = st["next"] + n_spawn
+            else:
+                nxt = st["next"] + jnp.sum(spawn, dtype=jnp.uint32)
             pixel_glob = pixel_new + lane0.astype(jnp.int32)
             rng_new = RaySampler.init(wang_hash(frame_new),
                                       pixel_glob.astype(jnp.uint32))
@@ -201,19 +232,23 @@ def make_regen_integrator(settings: RenderSettings, width, height,
                 o_new = o_new + 0.0 * (o2 + d2 + r2[:, None].astype(
                     jnp.float32))
             sel = spawn[:, None]
-            orig = jnp.where(sel, o_new, st["orig"])
-            raydir = jnp.where(sel, d_new, st["dir"])
-            mask = jnp.where(sel, 1.0, st["mask"])
-            rng = jnp.where(spawn, rng_new, st["rng"])
-            lbn = jnp.where(spawn, settings.bounce_min, st["lbn"])
-            bounce = jnp.where(spawn, 0, st["bounce"])
-            pixel = jnp.where(spawn, pixel_new, st["pixel"])
-            medium_id = jnp.where(spawn, -1, st["medium_id"])
-            bsdf_pdf = jnp.where(spawn, -1.0, st["bsdf_pdf"])
+            orig = jnp.where(sel, o_new, src_st["orig"])
+            raydir = jnp.where(sel, d_new, src_st["dir"])
+            mask = jnp.where(sel, 1.0, src_st["mask"])
+            rng = jnp.where(spawn, rng_new, src_st["rng"])
+            lbn = jnp.where(spawn, settings.bounce_min, src_st["lbn"])
+            bounce = jnp.where(spawn, 0, src_st["bounce"])
+            pixel = jnp.where(spawn, pixel_new, src_st["pixel"])
+            medium_id = jnp.where(spawn, -1, src_st["medium_id"])
+            bsdf_pdf = jnp.where(spawn, -1.0, src_st["bsdf_pdf"])
             if deferred:
-                ell = jnp.where(sel, 0.0, st["L"])
+                ell = jnp.where(sel, 0.0, src_st["L"])
             active = active | spawn
-            rays = st["rays"] + jnp.sum(active, dtype=jnp.float32)
+            if settings.regen_order == "compact":
+                n_act_u = st["alive"] + n_spawn     # popcount(active)
+                rays = st["rays"] + n_act_u.astype(jnp.float32)
+            else:
+                rays = st["rays"] + jnp.sum(active, dtype=jnp.float32)
 
             # ---------------- one wavefront segment ----------------
             # a single wave-level RNG draw keeps lanes independent; all
@@ -226,8 +261,7 @@ def make_regen_integrator(settings: RenderSettings, width, height,
             # in-register instead of re-reading a tmax tile every step.
             n_act = None
             if settings.regen_order == "compact":
-                n_act = (jnp.uint32(P) - n_dead
-                         + (nxt - st["next"])).astype(jnp.int32)
+                n_act = n_act_u.astype(jnp.int32)
             hit_slot, hit_t = trace_rays(scene, settings, orig, raydir,
                                          RAY_MIN, RAY_MAX, anyhit=False,
                                          active=active, active_prefix=n_act)
@@ -296,7 +330,7 @@ def make_regen_integrator(settings: RenderSettings, width, height,
             if settings.dup_stage == "shade":
                 # same pre-draw rng state, perturbed raydir defeats CSE
                 _, nd2, mm2, of2, _, _, _ = shade(
-                    scene, settings, st["rng"], raydir * 1.0000001, n, nl,
+                    scene, settings, src_st["rng"], raydir * 1.0000001, n, nl,
                     into, mat, objcol)
                 next_dir = next_dir + 0.0 * nd2
                 mask_mul = mask_mul + 0.0 * mm2
@@ -461,11 +495,17 @@ def make_regen_integrator(settings: RenderSettings, width, height,
                     ag_ = ag_.at[hp].add(0.0 * contrib[:, 1])
                     ab_ = ab_.at[hp].add(0.0 * contrib[:, 2])
                 accum = (ar_, ag_, ab_)
+            if settings.regen_order == "compact":
+                # the ONE remaining full-width reduce: this wave's deaths
+                # (everything else derives from the carried alive scalar)
+                alive_new = n_act_u - jnp.sum(finished, dtype=jnp.uint32)
+            else:
+                alive_new = jnp.sum(active & ~finished, dtype=jnp.uint32)
             active = active & ~finished
 
             out = {
                 "accum": accum, "waves": st["waves"] + 1, "rays": rays,
-                "next": nxt, "active": active,
+                "next": nxt, "active": active, "alive": alive_new,
                 "orig": orig, "dir": raydir, "mask": mask,
                 "rng": rng, "lbn": lbn, "bounce": bounce, "pixel": pixel,
                 "medium_id": medium_id, "bsdf_pdf": bsdf_pdf,
@@ -531,8 +571,6 @@ def make_regen_integrator(settings: RenderSettings, width, height,
                         | (su << 8)
                         | (out["lbn"] << 16)
                         | (out["bounce"] << 24))
-                bc_f = lambda v: jax.lax.bitcast_convert_type(v, jnp.float32)
-                bc_i = lambda v: jax.lax.bitcast_convert_type(v, jnp.int32)
                 cols = [out["orig"], out["dir"], out["mask"],
                         out["bsdf_pdf"][:, None],
                         bc_f(out["rng"].astype(jnp.int32))[:, None],
@@ -591,7 +629,7 @@ def make_regen_integrator(settings: RenderSettings, width, height,
             die (a frame's last wave, mass sky misses) takes the full-pool
             branch of the cond instead — nothing is ever dropped."""
             acc = out["accum"]
-            n_alive = jnp.sum(out["active"], dtype=jnp.int32)
+            n_alive = out["alive"].astype(jnp.int32)
             act_c = out["active"][:, None]
 
             def flush_window(a):
@@ -695,7 +733,7 @@ def make_regen_integrator(settings: RenderSettings, width, height,
             # banks only the OLD deaths — the exact tail suffix of
             # n_dead rows. Fresh rows inside the copied window are
             # all-zero, so they satisfy the rows-past-fill invariant.
-            n_dead = P - jnp.sum(out["active"], dtype=jnp.int32) - n_fd_
+            n_dead = P - out["alive"].astype(jnp.int32) - n_fd_
 
             def pre_flush(args):
                 a, r, f = args
