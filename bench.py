@@ -334,7 +334,16 @@ def main():
         st = dataclasses.replace(rr.settings, dup_stage=dup_stage)
         rcam = default_camera(width, height).build_render_camera()
         cv = jnp.asarray(rcam.as_array())
+        # TIME the production path (with_stats=False — what render.py and
+        # the viewer run); the honest ray-count denominator comes from ONE
+        # untimed stats-enabled execution per chain length (the count is
+        # deterministic), so the timed program doesn't carry the NEE
+        # candidate reduce that only the counter needs (~1 ms/wave at 1M
+        # lanes)
         fn = jax.jit(
+            make_regen_integrator(st, width, height),
+            static_argnames=("n_frames",))
+        fn_stats = jax.jit(
             make_regen_integrator(st, width, height, with_stats=True),
             static_argnames=("n_frames",))
         accum = rr.zeros_accum()
@@ -351,8 +360,9 @@ def main():
             def sync():
                 _ = np.asarray(box["r"][0][-1:])
             t = _median_time(gofn, sync, reps=reps)
-            stats[M] = (float(np.asarray(box["r"][2])),
-                        int(np.asarray(box["r"][1])))
+            rs = fn_stats(rr.scene, cv, jnp.uint32(1), jnp.uint32(0),
+                          accum, n_frames=M)
+            stats[M] = (float(np.asarray(rs[2])), int(np.asarray(rs[1])))
             return t
 
         lo, hi = frames

@@ -183,16 +183,20 @@ def test_native_alias_matches_python_and_is_fast():
 
     # speed at real envmap size through the full distribution build
     env = rng.exponential(size=(1024, 2048, 3)).astype(np.float32)
-    # CPU time (immune to machine load), best of 2 (immune to first-touch
+    # CPU time (immune to machine load), best of 3 (immune to first-touch
     # page-fault noise under the full suite: a single cold run measured
-    # 5.03s CPU in-suite vs 0.35s warm standalone)
+    # 5.03s CPU in-suite vs 0.35s warm standalone — and even best-of-2 at
+    # a 5.0s bound flaked under suite memory pressure). The bound exists
+    # to catch the MINUTES-long pure-Python-loop regression class, so it
+    # is deliberately loose: 15s is ~40x the warm native time and ~10x
+    # under the regression it guards against.
     dt = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.process_time()
         d = envsample.build_env_distribution(env, topk=0)  # unrestricted
         dt = min(dt, time.process_time() - t0)
     assert d["env_alias"].shape == (1024 * 2048, 12)
-    assert dt < 5.0, "2048x1024 alias build took %.1fs" % dt
+    assert dt < 15.0, "2048x1024 alias build took %.1fs" % dt
     # default top-k restriction caps the draw table at 16k rows and
     # renormalizes the pdf over the selected texels (0 elsewhere)
     dk = envsample.build_env_distribution(env)

@@ -126,7 +126,6 @@ def make_regen_integrator(settings: RenderSettings, width, height,
         st = {
             "accum": tuple(_scramble(accum[:, c]) for c in range(3)),
             "waves": jnp.uint32(0),
-            "rays": jnp.float32(0.0),
             "next": jnp.uint32(0),
             # popcount(active) carried as a scalar (compact mode reads it
             # instead of re-reducing the mask every wave)
@@ -142,6 +141,14 @@ def make_regen_integrator(settings: RenderSettings, width, height,
             "medium_id": jnp.full((P,), -1, jnp.int32),
             "bsdf_pdf": jnp.full((P,), -1.0, jnp.float32),
         }
+        if with_stats:
+            # traced-ray counter (bench's honest Mrays/s denominator).
+            # Carried ONLY when asked for: the NEE candidate count costs a
+            # full-width cross-lane reduce per wave (~1 ms at 1M lanes),
+            # which no production caller should pay — tools/render.py and
+            # the timed bench path run with_stats=False and read the ray
+            # count from one untimed stats-enabled execution instead.
+            st["rays"] = jnp.float32(0.0)
         if deferred:
             # per-path radiance, flushed to the image when the path dies
             st["L"] = jnp.zeros((P, 3), jnp.float32)
@@ -246,9 +253,12 @@ def make_regen_integrator(settings: RenderSettings, width, height,
             active = active | spawn
             if settings.regen_order == "compact":
                 n_act_u = st["alive"] + n_spawn     # popcount(active)
-                rays = st["rays"] + n_act_u.astype(jnp.float32)
-            else:
-                rays = st["rays"] + jnp.sum(active, dtype=jnp.float32)
+            rays = None
+            if with_stats:
+                if settings.regen_order == "compact":
+                    rays = st["rays"] + n_act_u.astype(jnp.float32)
+                else:
+                    rays = st["rays"] + jnp.sum(active, dtype=jnp.float32)
 
             # ---------------- one wavefront segment ----------------
             # a single wave-level RNG draw keeps lanes independent; all
@@ -373,7 +383,8 @@ def make_regen_integrator(settings: RenderSettings, width, height,
                 cos_e = dot(d_env, nl)
                 diff_lane = surf & (mat["refltype"] == MAT_DIFF)
                 cand = diff_lane & (cos_e > 0.0) & (pdf_env > 1e-12)
-                rays = rays + jnp.sum(cand, dtype=jnp.float32)
+                if with_stats:
+                    rays = rays + jnp.sum(cand, dtype=jnp.float32)
                 s_slot, s_t = trace_rays(scene, settings, orig, d_env,
                                          RAY_MIN, RAY_MAX, anyhit=True,
                                          active=cand)
@@ -409,7 +420,8 @@ def make_regen_integrator(settings: RenderSettings, width, height,
                 cos_b = dot(jnp.broadcast_to(ddis, raydir.shape),
                             normalize(bs_normal))
                 cand_b = bs_lane & (cos_b >= 0.0)
-                rays = rays + jnp.sum(cand | cand_b, dtype=jnp.float32)
+                if with_stats:
+                    rays = rays + jnp.sum(cand | cand_b, dtype=jnp.float32)
                 s_slot, s_t = trace_rays(
                     scene, settings, orig,
                     jnp.broadcast_to(ddis, raydir.shape),
@@ -504,12 +516,14 @@ def make_regen_integrator(settings: RenderSettings, width, height,
             active = active & ~finished
 
             out = {
-                "accum": accum, "waves": st["waves"] + 1, "rays": rays,
+                "accum": accum, "waves": st["waves"] + 1,
                 "next": nxt, "active": active, "alive": alive_new,
                 "orig": orig, "dir": raydir, "mask": mask,
                 "rng": rng, "lbn": lbn, "bounce": bounce, "pixel": pixel,
                 "medium_id": medium_id, "bsdf_pdf": bsdf_pdf,
             }
+            if with_stats:
+                out["rays"] = rays
             if deferred:
                 out["L"] = ell
             if dense_mode:
