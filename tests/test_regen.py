@@ -203,3 +203,35 @@ def test_regen_deferred_full_flush_overflow(tmp_path, scatter_mode):
     assert out["regen"].mean() == pytest.approx(out["bounce"].mean(),
                                                 rel=1e-4)
     assert out["regen"].mean() > 0.1            # sky is actually bright
+
+
+def test_regen_with_stats_identical_render(tmp_path):
+    """The with_stats ray counter is diagnostics-only: carrying it (and
+    its per-wave cross-lane reduces) must not change the rendered image
+    bit-for-bit, the wave count, or the accumulation. Guards the gating
+    refactor that removed the counter from the production program."""
+    import jax
+    import jax.numpy as jnp
+    from tpu_pathtracer.tracer.regen import make_regen_integrator
+
+    mesh = procedural.make_test_scene()
+    fb = load_or_build(mesh, cache_dir=str(tmp_path))
+    mats = [MatDesc(refltype=MAT_DIFF, useTexture=True),
+            MatDesc(refltype=MAT_GLASS), MatDesc(refltype=MAT_REFL)]
+    env = procedural.make_sky_envmap(128, 64)
+    tex = procedural.make_checker_texture(64)
+    W = H = 48
+    rc = default_camera(W, H).build_render_camera()
+    r = Renderer(fb, mats, envmap=env, texture=tex, width=W, height=H)
+    out = {}
+    for ws in (False, True):
+        fn = jax.jit(make_regen_integrator(r.settings, W, H,
+                                           with_stats=ws),
+                     static_argnames=("n_frames",))
+        res = fn(r.scene, jnp.asarray(rc.as_array()), jnp.uint32(1),
+                 jnp.uint32(0), r.zeros_accum(), n_frames=2)
+        out[ws] = (np.asarray(res[0]), int(res[1]),
+                   float(res[2]) if ws else None)
+    assert np.array_equal(out[False][0], out[True][0])   # bit-identical
+    assert out[False][1] == out[True][1]                 # same waves
+    assert out[True][2] >= W * H * 2                     # counter sane
