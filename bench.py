@@ -381,8 +381,12 @@ def main():
     tt1024_min = ms_hd * 1024.0 / 60e3
     baseline_tt_min = rays_hd * 1024.0 / 100e6 / 60.0
 
-    # 1024^2 frame cost for cross-round comparability (BENCH_r01 extra)
-    ms_sq, rays_sq, waves_sq = frame_cost(1024, 1024, reps=3)
+    # 1024^2 frame cost for cross-round comparability (BENCH_r01 extra).
+    # Same (1,5) chain as the 1080p axis and the sweep tools: the old
+    # (1,3)x3 chain read ~10 ms high vs every same-day sweep_frame
+    # measurement (drain-tail waves cancel less over a 2-frame delta).
+    ms_sq, rays_sq, waves_sq = frame_cost(1024, 1024, reps=3,
+                                          frames=(1, 5))
 
     # ---------- per-stage frame cost from the device profiler ----------
     # jax.profiler records TPU-side per-op durations through the relay;

@@ -178,7 +178,12 @@ def main():
     ap.add_argument("--cache-dir", default=".bvh_cache")
     ap.add_argument("--batch", type=int, default=4,
                     help="samples per device dispatch")
+    ap.add_argument("--compile-cache-dir", default=".jax_cache",
+                    help="persistent XLA compile cache ('' disables)")
     args = ap.parse_args()
+
+    from tpu_pathtracer.utils import compcache
+    compcache.enable(args.compile_cache_dir)
 
     from tpu_pathtracer.scene.demo import testobj_scene, default_camera
     from tpu_pathtracer.scene.camera import InteractiveCamera

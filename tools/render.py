@@ -54,10 +54,17 @@ def main():
                     help="checkpoint every N frames")
     ap.add_argument("--resume", help="resume from checkpoint file")
     ap.add_argument("--cache-dir", default=".bvh_cache")
+    ap.add_argument("--compile-cache-dir", default=".jax_cache",
+                    help="persistent XLA compile cache ('' disables): a "
+                         "repeat render of the same program skips the "
+                         "minutes-long first compile")
     ap.add_argument("--multichip", action="store_true",
                     help="shard lanes over all available devices")
     ap.add_argument("--camera", help=".cam binary file to load")
     args = ap.parse_args()
+
+    from tpu_pathtracer.utils import compcache
+    compcache.enable(args.compile_cache_dir)
 
     W = args.width or args.size
     H = args.height or args.size
