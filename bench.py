@@ -62,6 +62,11 @@ def _median_time(fn, sync, reps=5):
 
 
 def main():
+    # persistent compile cache: the bench compiles ~15 distinct programs
+    # (gates, axes, chains); repeat runs skip the client-side compile
+    # (utils/compcache.py — never changes results, only latency)
+    from tpu_pathtracer.utils import compcache
+    compcache.enable()
     import jax
     import jax.numpy as jnp
     from tpu_pathtracer.scene.demo import testobj_scene, default_camera
