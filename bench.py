@@ -420,7 +420,9 @@ def main():
         run_b(9)                      # compile both before tracing
         # the long chain tames lumpy once-per-call events (drain rungs)
         ops, meta = profile_marginal(run_b, frames=(1, 9))
-        cats = categorize(ops, meta, accum_rows=3 * 1024 * 1024)
+        # one swizzled accum plane = ceil(N/1024)*1024 rows (regen.py)
+        cats = categorize(ops, meta,
+                          plane_rows=((1024 * 1024 + 1023) // 1024) * 1024)
         breakdown = {k: round(v, 2) for k, v in sorted(cats.items())}
     except Exception as e:            # profiler is an extra, not a gate
         breakdown = {"error": str(e)[:120]}

@@ -31,8 +31,11 @@ def classify(name, long_name):
         return "pallas packet trace"
     if name.startswith("sort"):
         return "argsort (compact keys)"
-    if "f32[3145728]" in long_name.split("=")[0] or \
-            "f32[6220800]" in long_name.split("=")[0]:
+    # accum is three swizzled (ceil(N/1024)*1024,) channel planes; the
+    # image scatter-adds are the custom fusions with a bare 1-D f32
+    # output fed by an s32 index operand (drain rungs + full fallback)
+    if re.match(r"%\S+ = f32\[\d+\]\{", long_name) and \
+            "fusion(" in long_name and ", s32[" in long_name:
         return "accum scatter-add"
     if "f32[4194304,4]" in long_name.split("=")[0]:
         return "ring append/update"

@@ -64,11 +64,14 @@ def profile_marginal(run, frames=(1, 5), logdir_base="/tmp/jaxprof_bench"):
     return ops, mhi
 
 
-def categorize(ops, meta, accum_rows=None):
+def categorize(ops, meta, plane_rows=None):
     """Roll per-op marginal costs into stable wave-stage categories.
-    accum_rows: 3*N of the flat accum buffer (identifies scatter
-    targets); None disables that bucket."""
-    acc_tag = "f32[%d]" % accum_rows if accum_rows else None
+    plane_rows: rows of ONE swizzled accum channel plane (ceil(N/1024)*
+    1024 — see regen.py); identifies the image scatter-adds, which are
+    the only custom fusions whose OUTPUT is a bare 1-D f32[plane_rows]
+    (ring-drain rungs and the full-pool fallback; gathers emit 2-D
+    (N, C) outputs). None disables that bucket."""
+    acc_tag = "= f32[%d]{" % plane_rows if plane_rows else None
     buckets = collections.Counter()
     for n, ms in ops.items():
         # keep NEGATIVE marginals: lumpy events (the ring's flush-ladder
@@ -82,7 +85,9 @@ def categorize(ops, meta, accum_rows=None):
         out_part = ln.split("fusion(")[0] if "fusion(" in ln else ln[:80]
         if cat == "custom-call":
             buckets["trace"] += ms
-        elif acc_tag and acc_tag in out_part:
+        elif acc_tag and cat == "custom fusion" and acc_tag in out_part:
+            # scatter-adds lower as kCustom fusions; 1-D plane output
+            # distinguishes them from the 2-D (N, C) gather fusions
             buckets["image_scatter"] += ms
         elif n.startswith("sort"):
             buckets["argsort"] += ms
