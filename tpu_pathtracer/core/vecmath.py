@@ -57,6 +57,19 @@ def luminance(c):
     return 0.2126 * c[..., 0] + 0.7152 * c[..., 1] + 0.0722 * c[..., 2]
 
 
+def channel_select(c, ch):
+    """Per-lane RGB channel pick: c[i, ch[i]] as a branch-free select.
+
+    Bit-identical to `take_along_axis(c, ch[:, None], 1)[:, 0]`, but that
+    form lowers to a per-index XLA gather on TPU, which has no fast path
+    for the near-duplicate index pattern ch in {0,1,2} — measured ~23 ms
+    per 1M lanes per call on v5e (profiler, subsurface frame; same
+    serialization the gather probes found for duplicate rows). The
+    two-select form is plain VPU work, ~free in any fusion."""
+    return jnp.where(ch == 0, c[..., 0],
+                     jnp.where(ch == 1, c[..., 1], c[..., 2]))
+
+
 def make_basis(n):
     """Build an orthonormal basis (u, v) around unit normal n.
 

@@ -24,7 +24,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..core.vecmath import RAY_MIN, RAY_MAX, FOUR_PI, EIGHT_PI, dot, normalize, make_basis, length
+from ..core.vecmath import (RAY_MIN, RAY_MAX, FOUR_PI, EIGHT_PI, dot,
+                            normalize, make_basis, length, channel_select)
 from ..core.rng import RaySampler
 from ..materials.fresnel import fresnel_dielectric, fresnel_moment_1
 from ..materials.bsdf import lambertian_sample
@@ -142,9 +143,11 @@ def _sample_probe_ray(r1, r2, r3, normal, hitpoint, sigma_t, rho, vx, vy,
                    jnp.where(axis_x, r1 * (r1 - 0.5) * 4.0,
                              r1 * (r1 - 0.75) * 4.0))
 
-    st_ch = jnp.take_along_axis(sigma_t, ch[:, None], axis=1)[:, 0]
-    st_ch = jnp.maximum(st_ch, 1e-12)
-    rho_ch = jnp.take_along_axis(rho, ch[:, None], axis=1)[:, 0]
+    # branch-free channel pick: the take_along_axis form lowered to a
+    # per-index gather costing ~23 ms per 1M lanes PER CALL on v5e
+    # (6 calls/wave across the 3 probes dominated the subsurface frame)
+    st_ch = jnp.maximum(channel_select(sigma_t, ch), 1e-12)
+    rho_ch = channel_select(rho, ch)
     if use_soe:
         s = param_soe(rho_ch)
         radius = -jnp.log(jnp.maximum(1.0 - r2 * 0.99, 1e-12)) / st_ch / s

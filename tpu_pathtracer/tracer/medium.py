@@ -15,6 +15,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..core.rng import RaySampler
+from ..core.vecmath import channel_select
 from ..materials.bsdf import henyey_greenstein_sample
 
 
@@ -39,8 +40,9 @@ def medium_interaction(scene, rng, orig, raydir, mask, hit_t, medium_id,
 
     # sample a channel (src/reflection.cuh:169)
     ch = jnp.clip((r1 * 3.0).astype(jnp.int32), 0, 2)
-    st_ch = jnp.take_along_axis(sigma_t, ch[:, None], axis=1)[:, 0]
-    st_ch = jnp.maximum(st_ch, 1e-12)
+    # branch-free pick (take_along_axis lowers to a ~23 ms/M-lane gather
+    # on v5e for this duplicate-heavy index pattern — see vecmath)
+    st_ch = jnp.maximum(channel_select(sigma_t, ch), 1e-12)
 
     dist = -jnp.log(jnp.maximum(1.0 - r2, 1e-12)) / st_ch
     scene_t = hit_t
