@@ -110,7 +110,10 @@ def main():
                  # the VMEM fallback kernel (scenes with tables > the SMEM
                  # budget run this) is a distinct Mosaic specialization —
                  # gate it too, in the queue config the integrator would use
-                 _d_cfg + ("vmem", _d_qk)}
+                 _d_cfg + ("vmem", _d_qk),
+                 # the media/BSSRDF workload-class shape (renderer.py derives
+                 # (32,4) when the scene has media or subsurface materials)
+                 (32, 4, "auto", _d_qk)}
     for g_sub, g_il, g_mem, g_qk in sorted(gate_cfgs):
         cs, ct = packet_intersect(packed, jnp.asarray(co), jnp.asarray(cd),
                                   RAY_MIN, RAY_MAX, stack_depth=sd,
@@ -123,34 +126,41 @@ def main():
             "packet kernel (%d,%d,%s,q%d) wrong on device: %.4f agreement"
             % (g_sub, g_il, g_mem, g_qk, agree))
     # anyhit is a distinct early-out path in the kernel: a hit must exist
-    # along [tmin, tmax] iff the closest-hit oracle found one
+    # along [tmin, tmax] iff the closest-hit oracle found one. Gate it in
+    # both workload-class shapes (media/bssrdf scenes shoot shadow rays
+    # through the (32,4) specialization).
     d_sub = _defaults.packet_tile_sub
     d_il = _defaults.packet_interleave
-    ahs, _ = packet_intersect(packed, jnp.asarray(co), jnp.asarray(cd),
-                              RAY_MIN, RAY_MAX, stack_depth=sd, anyhit=True,
-                              tile_sub=d_sub, interleave=d_il, queue_k=_d_qk)
-    ah_agree = float(((np.asarray(ahs) >= 0) == (bt >= 0)).mean())
-    assert ah_agree > 0.999, (
-        "anyhit kernel wrong on device: %.4f agreement" % ah_agree)
+    for a_sub, a_il in ((d_sub, d_il), (32, 4)):
+        ahs, _ = packet_intersect(packed, jnp.asarray(co), jnp.asarray(cd),
+                                  RAY_MIN, RAY_MAX, stack_depth=sd,
+                                  anyhit=True,
+                                  tile_sub=a_sub, interleave=a_il,
+                                  queue_k=_d_qk)
+        ah_agree = float(((np.asarray(ahs) >= 0) == (bt >= 0)).mean())
+        assert ah_agree > 0.999, (
+            "anyhit kernel (%d,%d) wrong on device: %.4f agreement"
+            % (a_sub, a_il, ah_agree))
     # the prefix-act queue kernel (the regen ext trace's actual
     # specialization: tmax operand dropped, act/tmax derived from SMEM
     # scalars + lane iota) is its own Mosaic program — gate it too, with
     # a prefix that splits a lane row
     n_pref = 397
-    pfs, pft = packet_intersect(packed, jnp.asarray(co), jnp.asarray(cd),
-                                RAY_MIN, RAY_MAX, stack_depth=sd,
-                                tile_sub=d_sub, interleave=d_il,
-                                queue_k=_d_qk,
-                                active_prefix=jnp.int32(n_pref))
-    pfs = np.asarray(pfs)
-    pft = np.asarray(pft)
-    ours = np.where(pfs >= 0, fb.tri_orig[np.maximum(pfs, 0)], -1)
-    pf_agree = float((ours[:n_pref] == bt[:n_pref]).mean())
-    assert pf_agree > 0.999, (
-        "prefix-act queue kernel wrong on device: %.4f agreement"
-        % pf_agree)
-    assert (pfs[n_pref:] == -1).all() and (pft[n_pref:] >= RAY_MAX).all(), \
-        "prefix-act queue kernel: lanes past the prefix must be inactive"
+    for p_sub, p_il in ((d_sub, d_il), (32, 4)):   # surface + media/bssrdf
+        pfs, pft = packet_intersect(packed, jnp.asarray(co), jnp.asarray(cd),
+                                    RAY_MIN, RAY_MAX, stack_depth=sd,
+                                    tile_sub=p_sub, interleave=p_il,
+                                    queue_k=_d_qk,
+                                    active_prefix=jnp.int32(n_pref))
+        pfs = np.asarray(pfs)
+        pft = np.asarray(pft)
+        ours = np.where(pfs >= 0, fb.tri_orig[np.maximum(pfs, 0)], -1)
+        pf_agree = float((ours[:n_pref] == bt[:n_pref]).mean())
+        assert pf_agree > 0.999, (
+            "prefix-act queue kernel (%d,%d) wrong on device: %.4f agreement"
+            % (p_sub, p_il, pf_agree))
+        assert (pfs[n_pref:] == -1).all() and (pft[n_pref:] >= RAY_MAX).all(), \
+            "prefix-act queue kernel: lanes past the prefix must be inactive"
 
     # ---------------- on-device INTEGRATOR correctness gate ----------------
     # CPU tests cannot catch TPU-only numeric semantics: the ring flush
@@ -330,11 +340,14 @@ def main():
     # ------------- axis 2: end-to-end render at 1920x1080 -------------
     import dataclasses
 
-    def frame_cost(width, height, reps=4, frames=(1, 3), dup_stage=""):
+    def frame_cost(width, height, reps=4, frames=(1, 3), dup_stage="",
+                   parts=None):
         """(ms_per_frame_1spp, rays_per_frame, waves_per_frame) via the
         marginal cost of chaining n_frames progressive samples inside one
-        device program, using the default (regen) integrator."""
-        rr = Renderer(fb, mats, envmap=envmap, texture=texture,
+        device program, using the default (regen) integrator.
+        parts: optional (fb, mats, envmap, texture) scene override."""
+        p_fb, p_mats, p_env, p_tex = parts or (fb, mats, envmap, texture)
+        rr = Renderer(p_fb, p_mats, envmap=p_env, texture=p_tex,
                       width=width, height=height)
         st = dataclasses.replace(rr.settings, dup_stage=dup_stage)
         rcam = default_camera(width, height).build_render_camera()
@@ -392,6 +405,23 @@ def main():
     # measurement (drain-tail waves cancel less over a 2-frame delta).
     ms_sq, rays_sq, waves_sq = frame_cost(1024, 1024, reps=3,
                                           frames=(1, 5))
+
+    # workload-class axes: the media and subsurface demo variants at
+    # 1024^2. Renderer derives (32,4) packets for these scenes (interior
+    # scattered / probe rays stay incoherent — ARCHITECTURE.md
+    # "Workload-class packet shape"); recording them here keeps the
+    # heavy-transport paths' perf tracked across rounds, not just the
+    # surface scene's.
+    wl_ms = {}
+    for variant in ("media", "subsurface"):
+        try:
+            wl_parts = testobj_scene(cache_dir=".bvh_cache",
+                                     variant=variant)
+            wl_ms[variant], _, _ = frame_cost(1024, 1024, reps=3,
+                                              frames=(1, 5),
+                                              parts=wl_parts)
+        except Exception as e:          # an extra axis, not a gate
+            wl_ms[variant] = "error: " + str(e)[:80]
 
     # ---------- per-stage frame cost from the device profiler ----------
     # jax.profiler records TPU-side per-op durations through the relay;
@@ -459,6 +489,12 @@ def main():
         "rays_per_frame_1080p": round(rays_hd),
         "waves_per_frame_1080p": round(waves_hd, 1),
         "ms_per_frame_1spp": round(ms_sq, 2),          # 1024^2, r01 key
+        "ms_per_frame_1spp_media": (round(wl_ms["media"], 1)
+                                    if isinstance(wl_ms["media"], float)
+                                    else wl_ms["media"]),
+        "ms_per_frame_1spp_sss": (round(wl_ms["subsurface"], 1)
+                                  if isinstance(wl_ms["subsurface"], float)
+                                  else wl_ms["subsurface"]),
         "waves_per_frame_sq": round(waves_sq, 2),      # breakdown divisor
         "render_mpaths_per_sec": round(1024 * 1024 / ms_sq / 1e3, 3),
         "frame_breakdown_ms": breakdown,    # per FRAME at 1024^2, profiler

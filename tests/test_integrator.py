@@ -153,3 +153,33 @@ def test_base_scene_sharing_renders_identically():
     rc = _camera(32, 32)
     np.testing.assert_array_equal(np.asarray(_render(fresh, rc, 2)),
                                   np.asarray(_render(shared, rc, 2)))
+
+
+def test_workload_class_packet_shape(sphere_bvh):
+    """Derived RenderSettings pick the packet shape by workload class:
+    surface scenes get (8,8) (hit-slot-ordered survivors are coherent),
+    media/BSSRDF scenes get (32,4) (interior scattered / probe rays stay
+    incoherent; measured 627->510 / 484->414 ms/frame at 1024^2)."""
+    from tpu_pathtracer.scene.config import MAT_SUBSURFACE
+    surf = Renderer(sphere_bvh, [MatDesc(refltype=MAT_DIFF, kd=1.0)],
+                    width=32, height=32)
+    assert (surf.settings.packet_tile_sub,
+            surf.settings.packet_interleave) == (8, 8)
+    med = Renderer(sphere_bvh, [MatDesc(refltype=MAT_GLASS, medium="jade")],
+                   width=32, height=32)
+    assert med.settings.has_media
+    assert (med.settings.packet_tile_sub,
+            med.settings.packet_interleave) == (32, 4)
+    sss = Renderer(sphere_bvh,
+                   [MatDesc(refltype=MAT_SUBSURFACE)],
+                   width=32, height=32)
+    assert sss.settings.has_bssrdf
+    assert (sss.settings.packet_tile_sub,
+            sss.settings.packet_interleave) == (32, 4)
+    # explicit settings are never second-guessed
+    explicit = Renderer(sphere_bvh,
+                        [MatDesc(refltype=MAT_SUBSURFACE)],
+                        width=32, height=32,
+                        settings=RenderSettings(has_bssrdf=True))
+    assert (explicit.settings.packet_tile_sub,
+            explicit.settings.packet_interleave) == (8, 8)

@@ -151,6 +151,19 @@ class Renderer:
                 has_media=has_media,
                 has_bssrdf=has_bssrdf,
             )
+            # Workload-class packet shape: media/BSSRDF scenes spend their
+            # waves on interior scattered / probe rays whose packets stay
+            # incoherent, and fatter packets amortize the scalar step chain
+            # over more (inevitably divergent) lanes. Measured at 1024^2,
+            # one sweep_frame invocation each: jade media 626.7 -> 509.9
+            # ms/frame, subsurface 483.6 -> 413.8 with (32,4) vs the (8,8)
+            # surface-scene optimum ((16,8) loses at 572.9 on media).
+            # Surface scenes keep (8,8): hit-slot-ordered survivor packets
+            # are coherent enough that narrow packets waste fewer
+            # union-footprint steps (see RenderSettings.packet_tile_sub).
+            if has_media or has_bssrdf:
+                settings = dataclasses.replace(
+                    settings, packet_tile_sub=32, packet_interleave=4)
         # stack depth only needs the tree's actual depth
         settings = dataclasses.replace(
             settings, stack_depth=min(settings.stack_depth,
