@@ -187,6 +187,39 @@ def main():
         "regen integrator diverges from classic on device: maxdiff %g"
         % _gd)
 
+    # ------- on-device media/BSSRDF integrator gates (VERDICT r03 #3) -------
+    # regen==classic only checks the pool machinery against itself; the
+    # round-3 denormal-bitcast bug class lives in data movement BOTH
+    # integrators share, so the media and subsurface configs are gated
+    # against CPU-rendered goldens (tests/goldens/c4_media.npz,
+    # c5_bssrdf.npz — the same files the CPU suite pins) by RMSE. The
+    # tolerance absorbs backend transcendental drift on a handful of
+    # chaotic paths (measured ~1e-3 at 96^2 x 12 spp); the bug class this
+    # catches is catastrophic (black skies: RMSE > 0.3).
+    # Rendered with the (32,4) workload-class packet shape the bench's
+    # media/sss axes actually measure (renderer.py derives it when
+    # settings=None; goldens are CPU renders where packet shape is unused).
+    import importlib.util as _ilu
+    import os as _os
+    _gp = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                        "tests", "test_goldens.py")
+    _gspec = _ilu.spec_from_file_location("_golden_mod", _gp)
+    _gm = _ilu.module_from_spec(_gspec)
+    _gspec.loader.exec_module(_gm)
+    _gcfg = _gm._configs()
+    for _gname in ("c4_media", "c5_bssrdf"):
+        _gfile = _os.path.join(_os.path.dirname(_gp), "goldens",
+                               _gname + ".npz")
+        _fb, _mats, _env, _tex, _st, _ap = _gcfg[_gname]
+        _st = _dc.replace(_st, packet_tile_sub=32, packet_interleave=4)
+        _img = _gm._render(_gname, (_fb, _mats, _env, _tex, _st, _ap))
+        _want = np.load(_gfile)["img"]
+        _rmse = float(np.sqrt(np.mean((_img - _want) ** 2)))
+        assert np.all(np.isfinite(_img)), "%s: non-finite on device" % _gname
+        assert _rmse < 0.05, (
+            "%s diverges from CPU golden on device: RMSE %.4f"
+            % (_gname, _rmse))
+
     # ---------------- axis 1: traversal Mrays/s at 1024^2 ----------------
     W = H = 1024
     r = Renderer(fb, mats, envmap=envmap, texture=texture, width=W, height=H)
@@ -422,6 +455,76 @@ def main():
                                               parts=wl_parts)
         except Exception as e:          # an extra axis, not a gate
             wl_ms[variant] = "error: " + str(e)[:80]
+
+    # ---------- reference-asset-scale axes (VERDICT r03 missing#1) ----------
+    # Every perf number in rounds 1-3 came from the 4,430-tri procedural
+    # scene whose table fits SMEM; the reference's actual workload is a
+    # user-supplied 10^5-tri mesh (src/main.cpp:482-587). These axes run
+    # the ~135k-tri large scene (packed stream ~177k rows, ~9.9 MB -> the
+    # VMEM/split table path).
+    lg = {}
+    try:
+        from tpu_pathtracer.scene.demo import large_scene
+        from tpu_pathtracer.scene.procedural import make_large_scene
+        from tpu_pathtracer.accel import flatten_mesh_bvh
+        _lg_mesh = make_large_scene()
+        _t0 = time.perf_counter()
+        _lg_fb = flatten_mesh_bvh(_lg_mesh)      # uncached: times the build
+        lg["sbvh_build_s_large_scene"] = round(time.perf_counter() - _t0, 2)
+        lg["tris_large_scene"] = int(_lg_mesh.indices.shape[0])
+        lg_parts = large_scene(cache_dir=".bvh_cache")
+        lg_packed = jnp.asarray(pack_stream(lg_parts[0].prims,
+                                            lg_parts[0].meta))
+        lg_sd = lg_parts[0].max_depth + 2
+        lg["table_mb_large_scene"] = round(lg_packed.shape[0] * 14 * 4 / 1e6,
+                                           2)
+        # on-device correctness gate at this scale (the large-table kernel
+        # is a distinct Mosaic specialization)
+        lg_bt, _ = brute_force_intersect(_lg_mesh.tri_vertices(), co, cd,
+                                         RAY_MIN, RAY_MAX)
+        lgs, _t_ = packet_intersect(lg_packed, jnp.asarray(co),
+                                    jnp.asarray(cd), RAY_MIN, RAY_MAX,
+                                    stack_depth=lg_sd, tile_sub=_d_cfg[0],
+                                    interleave=_d_cfg[1], queue_k=_d_qk)
+        lgs = np.asarray(lgs)
+        lg_ours = np.where(lgs >= 0, lg_parts[0].tri_orig[np.maximum(lgs, 0)],
+                           -1)
+        lg_agree = float((lg_ours == lg_bt).mean())
+        assert lg_agree > 0.999, (
+            "large-scene kernel wrong on device: %.4f agreement" % lg_agree)
+
+        # coherent-primary traversal rate on the large table
+        def lg_chain(o, d, M):
+            def body(i, carry):
+                tm = RAY_MIN * (1.0 + 1e-7 * i.astype(jnp.float32))
+                s, t = packet_intersect(lg_packed, o, d, tm, RAY_MAX,
+                                        stack_depth=lg_sd, tile_sub=16,
+                                        interleave=4)
+                return carry + t[::65536].sum()
+            return jax.lax.fori_loop(0, M, body, jnp.float32(0.0))
+
+        def lg_run(M):
+            g = jax.jit(lambda o_, d_: lg_chain(o_, d_, M))
+            box = {}
+
+            def fn():
+                box["r"] = g(orig, raydir)
+
+            def sync():
+                _ = np.asarray(box["r"])
+            return _median_time(fn, sync, reps=3)
+
+        lg_dt = max((lg_run(40) - lg_run(8)) / 32.0, 1e-9)
+        lg["traversal_mrays_per_sec_large_scene"] = round(N / lg_dt / 1e6, 2)
+
+        # end-to-end 1-spp frame at 1024^2 on the large scene
+        lg_ms, lg_rays, lg_waves = frame_cost(1024, 1024, reps=3,
+                                              frames=(1, 5), parts=lg_parts)
+        lg["ms_per_frame_1spp_large_scene"] = round(lg_ms, 1)
+        lg["render_mrays_per_sec_large_scene"] = round(
+            lg_rays / (lg_ms / 1e3) / 1e6, 3)
+    except Exception as e:              # an extra axis, not a gate
+        lg["large_scene_error"] = str(e)[:160]
 
     # ---------- per-stage frame cost from the device profiler ----------
     # jax.profiler records TPU-side per-op durations through the relay;

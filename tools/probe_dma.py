@@ -210,8 +210,22 @@ def main():
     # pool row's bytes — if the measured cost is ISSUE-bound it prices a
     # 16-col gather too; if BANDWIDTH-bound divide by 8) and a flat 1-D
     # (P*16,) table probes true 64-B row spans (C=0).
-    tabw = jnp.asarray(rng.normal(size=(P, 128)).astype(np.float32))
-    tabf = jnp.asarray(rng.normal(size=(P * 16,)).astype(np.float32))
+    # tables are generated ON DEVICE (a 512 MB host->device transfer
+    # through the axon relay measured minutes/wedged): value = row*2 + col%2
+    # is cheap, unique per row, and reproducible host-side for checking
+    def _mk_wide():
+        r = jnp.arange(P, dtype=jnp.float32)[:, None]
+        c = jnp.arange(128, dtype=jnp.float32)[None, :]
+        return r * 2.0 + c * (1.0 / 256.0)
+
+    def _mk_wide_np():
+        r = np.arange(P, dtype=np.float32)[:, None]
+        c = np.arange(128, dtype=np.float32)[None, :]
+        return r * 2.0 + c * (1.0 / 256.0)
+
+    tabw = jax.jit(_mk_wide)()
+    tabf = jnp.arange(P * 16, dtype=jnp.float32) if "--flat" in sys.argv \
+        else None
 
     perm = rng.permutation(P).astype(np.int32)
     srt = np.arange(P, dtype=np.int32)
@@ -224,7 +238,7 @@ def main():
     # gate for real-hardware Mosaic miscompiles before any timing)
     g = make_dma_gather(P, 128, chunk=1024, window=8, interpret=interpret)
     got = np.asarray(g(tabw, jnp.asarray(perm))[:4096])
-    want = np.asarray(tabw)[perm[:4096]]
+    want = _mk_wide_np()[perm[:4096]]
     assert np.array_equal(got, want), "dma gather mismatch"
     print("gather(P,128) correctness OK", flush=True)
     if "--flat" in sys.argv:
@@ -239,21 +253,22 @@ def main():
         assert np.array_equal(got, want), "dma flat gather mismatch"
         print("gather flat-1d correctness OK", flush=True)
     s = make_dma_scatter(P, 128, chunk=1024, window=8, interpret=interpret)
-    got = np.asarray(s(tabw, jnp.asarray(perm)))
-    want = np.empty_like(np.asarray(tabw))
-    want[perm] = np.asarray(tabw)
-    assert np.array_equal(got[:4096], want[:4096]), "dma scatter mismatch"
+    got = np.asarray(s(tabw, jnp.asarray(perm))[:4096])
+    wide_np = _mk_wide_np()
+    want = np.empty_like(wide_np)
+    want[perm] = wide_np
+    assert np.array_equal(got, want[:4096]), "dma scatter mismatch"
     print("scatter correctness OK", flush=True)
     gb = make_dma_gather(P, 128, chunk=2048, window=8, batch=8,
                          interpret=interpret)
     got = np.asarray(gb(tabw, jnp.asarray(run8))[:4096])
-    assert np.array_equal(got, np.asarray(tabw)[run8[:4096]]), "run8 mismatch"
+    assert np.array_equal(got, wide_np[run8[:4096]]), "run8 mismatch"
     print("run8-batch correctness OK", flush=True)
     if interpret:
         return
 
     def take_cost():
-        tab16 = tabw[:, :16]
+        tab16 = tabw[:, :16] + 0.0
         idx = jnp.asarray(perm)
         return _chained_cost(
             lambda i: jnp.take(tab16, (idx + i) % P, axis=0)[0, 0])
@@ -278,7 +293,8 @@ def main():
             gk = make_dma_gather(P, C, window=window, **kw)
             idx_j = jnp.asarray(idx)
             ms = _chained_cost(
-                lambda i, gk=gk, tab=tab: gk(tab + 0.0 * i, idx_j)[0],
+                lambda i, gk=gk, tab=tab: jnp.ravel(
+                    gk(tab + 0.0 * i, idx_j))[0],
                 m0=1, m1=5)
             print("%-11s W=%-3d %7.2f ms  (%5.1f ns/idx)"
                   % (name, window, ms, ms * 1e6 / P), flush=True)

@@ -14,7 +14,7 @@ import numpy as np
 
 from .flatten import FlatBVH, flatten_mesh_bvh
 
-CACHE_VERSION = 3
+CACHE_VERSION = 4   # v4: BFS node-row order (split-table SMEM prefix)
 
 
 def _cache_key(mesh, platform, params):

@@ -195,6 +195,44 @@ def flatten_bvh(root: BVHNode, tri_index_array, tri_verts, tri_uv, tri_nrm,
     )
 
 
+def bfs_reorder_nodes(fb: FlatBVH) -> FlatBVH:
+    """Renumber the NODE rows of the unified stream into breadth-first
+    order (root stays row 0; triangle rows stay at num_nodes+slot — the
+    tri-row addressing contract woop_geometric_normal and the attribute
+    packers rely on).
+
+    Why: the split-table traversal path holds a PREFIX of the stream in
+    SMEM. Steps concentrate at the top of the tree (every traversal
+    restarts at the root), but the DFS emission order scatters near-root
+    nodes across the whole row space — BFS makes row index ~ tree depth,
+    so an S-row SMEM prefix covers the top ~log2(S) levels and with them
+    the bulk of node steps. Node order is semantically free: the cursor
+    encodes rows directly and hit_slot is the attr slot, not the row."""
+    n = fb.num_nodes
+    nm = fb.meta[:n].astype(np.int64)
+    order = np.empty(n, np.int64)
+    # BFS via a preallocated queue (children appended in (c0, c1) order)
+    order[0] = 0
+    head, tail = 0, 1
+    while head < tail:
+        i = order[head]
+        head += 1
+        for c in (nm[i, 0], nm[i, 1]):
+            if c >= 0:
+                order[tail] = c
+                tail += 1
+    assert tail == n, "node graph must be a single tree rooted at row 0"
+    perm = np.empty(n, np.int64)          # old row -> new row
+    perm[order] = np.arange(n)
+    new_nodes = fb.prims[:n][order]
+    new_meta = nm[order].copy()
+    inner = new_meta >= 0
+    new_meta[inner] = perm[new_meta[inner]]
+    prims = np.concatenate([new_nodes, fb.prims[n:]], axis=0)
+    meta = np.concatenate([new_meta.astype(np.int32), fb.meta[n:]], axis=0)
+    return dataclasses.replace(fb, prims=prims, meta=meta)
+
+
 def flatten_mesh_bvh(mesh, platform=None, params=None, use_native=True):
     """Build + flatten in one go from a TriangleMesh. Uses the C++ builder
     when available (same algorithm, ~100x faster); falls back to the Python
@@ -209,5 +247,6 @@ def flatten_mesh_bvh(mesh, platform=None, params=None, use_native=True):
     if root is None:
         from .bvh import build_bvh
         root, tri_idx, _ = build_bvh(tv, platform, params)
-    return flatten_bvh(root, tri_idx, tv, mesh.uv, mesh.normals,
-                       mesh.material_ids)
+    fb = flatten_bvh(root, tri_idx, tv, mesh.uv, mesh.normals,
+                     mesh.material_ids)
+    return bfs_reorder_nodes(fb)

@@ -48,7 +48,7 @@ F32_BIG = np.float32(1e30)
 
 
 def _make_step(tab_ref, anyhit, smem_tabs=None, tmin=None,
-               anyhit_early_stop=True):
+               anyhit_early_stop=True, split_rows=0):
     """Returns step(state, stack_ref, base, rays) -> state for ONE packet.
     rays: dict of per-lane (SUB,128) arrays + precomputed idir/ood — passed
     per call so the queue kernel can swap ray sets when a slot claims a new
@@ -98,40 +98,44 @@ def _make_step(tab_ref, anyhit, smem_tabs=None, tmin=None,
         is_tri = alive & (cur < 0)
         row = jnp.where(is_tri, ~cur, jnp.where(is_node, cur, 0))
 
-        if smem_tabs is not None:
-            # SMEM-resident table: the 14 per-step values are plain scalar
+        def _smem_fetch(r):
+            # SMEM-resident rows: the 14 per-step values are plain scalar
             # loads — measured 2.2x the whole-kernel throughput of the VMEM
             # extraction path on v5e (both coherent and incoherent rays)
             tab_smem, meta_smem = smem_tabs
-            rb = row * 12
+            rb = r * 12
+            return tuple(tab_smem[rb + c] for c in range(12)) + (
+                meta_smem[r * 2], meta_smem[r * 2 + 1])
 
-            def sc(c):
-                return tab_smem[rb + c]
-
-            def sci(c):
-                return meta_smem[row * 2 + (c - 12)]
-        else:
-            prow = tab_ref[pl.ds(row, 1), :]
-
-            def sci(c):
-                v = jax.lax.bitcast_convert_type(prow[0:1, c:c + 1],
-                                                 jnp.int32)
-                return jnp.sum(v)
-
+        def _vmem_fetch(r):
             # 12 shared scalar extractions: the node row's box floats + 2
             # children occupy the same columns as a tri row's 12 Woop
             # floats + (attr, last). (A matmul-replication trick that
             # avoided these extractions compiled but silently produced
             # zero hits on real v5e hardware — do not reintroduce it
             # without an on-device check.)
-            def sc(c):
-                return jnp.sum(prow[0:1, c:c + 1])
+            prow = tab_ref[pl.ds(r, 1), :]
+            fs = tuple(jnp.sum(prow[0:1, c:c + 1]) for c in range(12))
+            ms = tuple(jnp.sum(jax.lax.bitcast_convert_type(
+                prow[0:1, c:c + 1], jnp.int32)) for c in (12, 13))
+            return fs + ms
 
-        f0, f1, f2, f3 = sc(0), sc(1), sc(2), sc(3)
-        f4, f5, f6, f7 = sc(4), sc(5), sc(6), sc(7)
-        f8, f9, f10, f11 = sc(8), sc(9), sc(10), sc(11)
-        m0 = sci(12)
-        m1 = sci(13)
+        if smem_tabs is not None and split_rows:
+            # split table (tables over the SMEM budget): the BFS-ordered
+            # hot prefix (top-of-tree node rows, where steps concentrate
+            # because every traversal restarts at the root) rides SMEM;
+            # deep rows take the VMEM extraction path. One scalar branch
+            # per step picks the side.
+            (f0, f1, f2, f3, f4, f5, f6, f7, f8, f9, f10, f11,
+             m0, m1) = jax.lax.cond(row < split_rows,
+                                    lambda: _smem_fetch(row),
+                                    lambda: _vmem_fetch(row))
+        elif smem_tabs is not None:
+            (f0, f1, f2, f3, f4, f5, f6, f7, f8, f9, f10, f11,
+             m0, m1) = _smem_fetch(row)
+        else:
+            (f0, f1, f2, f3, f4, f5, f6, f7, f8, f9, f10, f11,
+             m0, m1) = _vmem_fetch(row)
 
         vote = act & (done == 0) if anyhit else act
 
@@ -378,8 +382,14 @@ def _make_step_branch(tab_ref, rays, anyhit, smem_tabs=None, tmin=None):
 
 
 def _kernel(*refs, anyhit, stack_depth, interleave, sub, smem_table,
-            step_mode="fused", anyhit_early_stop=True, count_steps=False):
-    if smem_table:
+            step_mode="fused", anyhit_early_stop=True, count_steps=False,
+            split_rows=0):
+    if smem_table and split_rows:
+        (tab_smem, meta_smem, tmin_smem, tab_ref, ox_ref, oy_ref, oz_ref,
+         dx_ref, dy_ref, dz_ref, tmax_ref, act_ref, slot_ref, t_ref,
+         *rest) = refs
+        smem_tabs = (tab_smem, meta_smem)
+    elif smem_table:
         (tab_smem, meta_smem, tmin_smem, ox_ref, oy_ref, oz_ref, dx_ref,
          dy_ref, dz_ref, tmax_ref, act_ref, slot_ref, t_ref,
          *rest) = refs
@@ -408,7 +418,8 @@ def _kernel(*refs, anyhit, stack_depth, interleave, sub, smem_table,
     rays_l = []
     fused_step = _make_step(tab_ref, anyhit, smem_tabs=smem_tabs,
                             tmin=tmin,
-                            anyhit_early_stop=anyhit_early_stop)
+                            anyhit_early_stop=anyhit_early_stop,
+                            split_rows=split_rows)
     for g in range(G):
         sl = pl.ds(g * sub, sub)
         rays = {}
@@ -474,7 +485,7 @@ def _kernel(*refs, anyhit, stack_depth, interleave, sub, smem_table,
 
 def _queue_kernel(*refs, anyhit, stack_depth, interleave, sub, smem_table,
                   queue_k, prefix_act=False, anyhit_early_stop=True,
-                  count_steps=False):
+                  count_steps=False, split_rows=0):
     """Work-queue variant of _kernel: one instance owns `queue_k`
     consecutive packets and `interleave` step slots; when a slot's packet
     finishes it CLAIMS the instance's next unclaimed packet (greedy list
@@ -513,16 +524,27 @@ def _queue_kernel(*refs, anyhit, stack_depth, interleave, sub, smem_table,
     wide one; per-step dynamic addressing is not the queue kernel's
     overhead. Reverted — code in git history.)"""
     if smem_table:
-        if prefix_act:
+        if split_rows:
+            if prefix_act:
+                (tab_smem, meta_smem, tmin_smem, tab_ref, ox_ref, oy_ref,
+                 oz_ref, dx_ref, dy_ref, dz_ref, idx_ref, idy_ref, idz_ref,
+                 slot_ref, t_ref, *rest) = refs
+                tmax_ref = None
+            else:
+                (tab_smem, meta_smem, tmin_smem, tab_ref, ox_ref, oy_ref,
+                 oz_ref, dx_ref, dy_ref, dz_ref, idx_ref, idy_ref, idz_ref,
+                 tmax_ref, slot_ref, t_ref, *rest) = refs
+        elif prefix_act:
             (tab_smem, meta_smem, tmin_smem, ox_ref, oy_ref, oz_ref,
              dx_ref, dy_ref, dz_ref, idx_ref, idy_ref, idz_ref,
              slot_ref, t_ref, *rest) = refs
             tmax_ref = None
+            tab_ref = None
         else:
             (tab_smem, meta_smem, tmin_smem, ox_ref, oy_ref, oz_ref,
              dx_ref, dy_ref, dz_ref, idx_ref, idy_ref, idz_ref,
              tmax_ref, slot_ref, t_ref, *rest) = refs
-        tab_ref = None
+            tab_ref = None
         smem_tabs = (tab_smem, meta_smem)
     else:
         if prefix_act:
@@ -581,7 +603,8 @@ def _queue_kernel(*refs, anyhit, stack_depth, interleave, sub, smem_table,
         return r
 
     step = _make_step(tab_ref, anyhit, smem_tabs=smem_tabs, tmin=tmin,
-                      anyhit_early_stop=anyhit_early_stop)
+                      anyhit_early_stop=anyhit_early_stop,
+                      split_rows=split_rows)
 
     slots0 = []
     for g in range(G):
@@ -743,9 +766,14 @@ def packet_intersect(packed, orig, raydir, tmin, tmax, anyhit=False,
                          "re-read per queue step; no caller needs it)")
     table_bytes = K * 14 * 4
     if table_mem == "auto":
+        # smem when the whole table fits; vmem otherwise ("split" — BFS
+        # hot prefix in SMEM + full stream in VMEM — must be requested
+        # explicitly until its on-device A/B lands)
         table_mem = ("smem" if not interpret
                      and table_bytes <= _SMEM_TABLE_BUDGET_BYTES else "vmem")
-    elif table_mem == "smem" and table_bytes > _SMEM_TABLE_BUDGET_BYTES:
+    if table_mem == "split" and step_mode != "fused":
+        raise ValueError("table_mem='split' requires step_mode='fused'")
+    if table_mem == "smem" and table_bytes > _SMEM_TABLE_BUDGET_BYTES:
         # fail fast with a clear message instead of an opaque remote Mosaic
         # compile error 30-130 s later
         raise ValueError(
@@ -828,7 +856,7 @@ def packet_intersect(packed, orig, raydir, tmin, tmax, anyhit=False,
         kern = functools.partial(_queue_kernel, anyhit=anyhit,
                                  stack_depth=stack_depth,
                                  interleave=interleave, sub=tile_sub,
-                                 smem_table=(table_mem == "smem"),
+                                 smem_table=(table_mem in ("smem", "split")),
                                  queue_k=queue_k, prefix_act=use_prefix,
                                  anyhit_early_stop=anyhit_early_stop,
                                  count_steps=count_steps)
@@ -836,38 +864,52 @@ def packet_intersect(packed, orig, raydir, tmin, tmax, anyhit=False,
         kern = functools.partial(_kernel, anyhit=anyhit,
                                  stack_depth=stack_depth,
                                  interleave=interleave, sub=tile_sub,
-                                 smem_table=(table_mem == "smem"),
+                                 smem_table=(table_mem in ("smem", "split")),
                                  step_mode=step_mode,
                                  anyhit_early_stop=anyhit_early_stop,
                                  count_steps=count_steps)
-    if table_mem == "smem":
+    if table_mem in ("smem", "split"):
         # flattened f32 box/woop columns + i32 meta as scalar-prefetch
         # operands (2-D SMEM operands get lane-padded to 128 columns —
-        # keep them 1-D)
-        tab_flat = packed[:, :12].reshape(-1)
+        # keep them 1-D). In split mode only the BFS-ordered hot PREFIX
+        # rides SMEM; the full table additionally arrives as a VMEM
+        # operand for the deep rows (see _make_step's split fetch).
+        S = min(K, _SMEM_TABLE_BUDGET_BYTES // 56) if table_mem == "split" \
+            else 0
+        pfx = packed[:S] if S else packed
+        tab_flat = pfx[:, :12].reshape(-1)
         meta_flat = jax.lax.bitcast_convert_type(
-            packed[:, 12:14], jnp.int32).reshape(-1)
+            pfx[:, 12:14], jnp.int32).reshape(-1)
         ray_spec = pl.BlockSpec((blk, LANES), lambda i, *_: (i, 0),
                                 memory_space=pltpu.VMEM)
+        extra_specs = []
+        extra_args = ()
+        if S:
+            extra_specs = [pl.BlockSpec(packed.shape, lambda i, *_: (0, 0),
+                                        memory_space=pltpu.VMEM)]
+            extra_args = (packed,)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(n_tiles,),
-            in_specs=[ray_spec] * len(args),
+            in_specs=extra_specs + [ray_spec] * len(args),
             out_specs=[ray_spec] * n_out,
             scratch_shapes=[pltpu.SMEM((stack_depth * interleave,),
                                        jnp.int32)],
         )
         # queue blocks hold queue_k packets x 11 ray operands and overflow
         # the default 16M scoped-VMEM budget at big queue_k; v5e has 128M
-        # physical VMEM, so raise the cap for big-queue configs
+        # physical VMEM, so raise the cap for big-queue configs (and for
+        # split tables, whose full stream rides VMEM too)
         cp = {}
-        if (queue and blk * LANES * 4 * (len(args) + n_out) * 2 > 15 << 20):
+        if (queue and (blk * LANES * 4 * (len(args) + n_out) * 2
+                       + (packed.size * 4 if S else 0)) > 15 << 20):
             cp = {"compiler_params": pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024)}
+        kern = functools.partial(kern, split_rows=S)
         outs = pl.pallas_call(
             kern, grid_spec=grid_spec, out_shape=out_shape,
             interpret=interpret, **cp,
-        )(tab_flat, meta_flat, tmin1, *args)
+        )(tab_flat, meta_flat, tmin1, *extra_args, *args)
     else:
         ray_spec = pl.BlockSpec((blk, LANES), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM)

@@ -196,6 +196,11 @@ class RenderSettings:
     # packet pops out in a few cheap steps anyway). Results are
     # bit-identical either way (a done lane never votes).
     anyhit_early_stop: bool = False
+    # packed-stream residency for the packet kernel: "auto" = SMEM when the
+    # table fits the 700 KB budget, else VMEM; "split" = BFS hot prefix in
+    # SMEM + full stream in VMEM (reference-asset-scale scenes);
+    # "smem"/"vmem" force one side (see ops/traverse_packet.py)
+    packet_table_mem: str = "auto"
 
 
 def trace_rays(scene, settings: RenderSettings, orig, raydir, tmin, tmax,
@@ -227,6 +232,7 @@ def trace_rays(scene, settings: RenderSettings, orig, raydir, tmin, tmax,
             interleave=settings.packet_interleave,
             step_mode=settings.packet_step,
             queue_k=settings.packet_queue_k,
+            table_mem=settings.packet_table_mem,
             anyhit_early_stop=settings.anyhit_early_stop)
     return intersect_scene(
         scene["prims"], scene["meta"], scene["num_nodes"], orig, raydir,
