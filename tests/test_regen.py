@@ -235,3 +235,47 @@ def test_regen_with_stats_identical_render(tmp_path):
     assert np.array_equal(out[False][0], out[True][0])   # bit-identical
     assert out[False][1] == out[True][1]                 # same waves
     assert out[True][2] >= W * H * 2                     # counter sane
+
+
+def test_sort_permute_bit_identical():
+    """regen_permute='sort' (planar carry + one stable multi-payload
+    lax.sort) must reproduce the gather permute BIT-EXACTLY: the stable
+    sort realizes the same permutation as the stable argsort, and planar
+    carries only move bits. Covers surface, capped-pool/ring, media and
+    BSSRDF pool layouts."""
+    import dataclasses
+    import numpy as np
+    from tpu_pathtracer.scene import procedural, MatDesc
+    from tpu_pathtracer.scene.config import (
+        MAT_DIFF, MAT_GLASS, MAT_REFL, MAT_SUBSURFACE)
+    from tpu_pathtracer.scene.demo import default_camera
+    from tpu_pathtracer.accel import flatten_mesh_bvh
+    from tpu_pathtracer.tracer import Renderer, RenderSettings
+
+    mesh = procedural.make_test_scene()
+    fb = flatten_mesh_bvh(mesh)
+    env = procedural.make_sky_envmap(64, 32)
+    W = H = 64
+    rc = default_camera(W, H).build_render_camera()
+    base = [MatDesc(refltype=MAT_DIFF), MatDesc(refltype=MAT_DIFF),
+            MatDesc(refltype=MAT_GLASS), MatDesc(refltype=MAT_REFL)]
+    sss = [MatDesc(refltype=MAT_DIFF),
+           MatDesc(refltype=MAT_SUBSURFACE, objcol=(0.8, 0.75, 0.7),
+                   alphax=0.3, etaT=1.4, mfp=(0.3, 0.25, 0.2), ks=0.2),
+           MatDesc(refltype=MAT_GLASS), MatDesc(refltype=MAT_REFL)]
+    media = [MatDesc(refltype=MAT_DIFF), MatDesc(refltype=MAT_DIFF),
+             MatDesc(refltype=MAT_GLASS, medium="jade"),
+             MatDesc(refltype=MAT_REFL)]
+    cases = [(base, {}), (base, dict(pool_lanes=256)),
+             (media, dict(has_media=True)), (sss, dict(has_bssrdf=True))]
+    for mats, extra in cases:
+        imgs = {}
+        for pm in ("gather", "sort"):
+            st = RenderSettings(use_envmap=True, use_texture=False,
+                                integrator="regen", regen_permute=pm,
+                                **extra)
+            r = Renderer(fb, mats, envmap=env, width=W, height=H,
+                         settings=st)
+            imgs[pm] = np.asarray(
+                r.render_frames(r.zeros_accum(), rc, 1, 2))
+        assert np.array_equal(imgs["gather"], imgs["sort"]), str(extra)

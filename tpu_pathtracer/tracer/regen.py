@@ -69,6 +69,15 @@ def make_regen_integrator(settings: RenderSettings, width, height,
                 and settings.regen_order == "compact")
     ring_mode = deferred and settings.scatter_mode == "ring"
     dense_mode = deferred and settings.dense_fresh_flush
+    # "sort" permute: the pool's vector state (orig/dir/mask/L) is carried
+    # as per-channel (P,) PLANES and the whole compaction permute is ONE
+    # stable multi-payload lax.sort whose operands are the carry itself —
+    # no concat into a (P,16) gather operand, no per-index row-gather, no
+    # slice/re-stack layout conversions (see RenderSettings.regen_permute).
+    sort_mode = settings.regen_permute == "sort"
+    if sort_mode and settings.regen_order != "compact":
+        raise ValueError("regen_permute='sort' requires "
+                         "regen_order='compact'")
     # (Carrying the pool as ONE (P,16) matrix — the permute's gather
     # output — to kill the four per-wave {1,0}->{0,1} carry layout
     # copies (~0.9 ms each at 1M lanes) was built, CPU-bit-exact, and
@@ -131,9 +140,14 @@ def make_regen_integrator(settings: RenderSettings, width, height,
             # instead of re-reducing the mask every wave)
             "alive": jnp.uint32(0),
             "active": jnp.zeros((P,), bool),
-            "orig": jnp.zeros((P, 3), jnp.float32),
-            "dir": jnp.zeros((P, 3), jnp.float32).at[:, 2].set(1.0),
-            "mask": jnp.zeros((P, 3), jnp.float32),
+            "orig": (tuple(jnp.zeros((P,), jnp.float32) for _ in range(3))
+                     if sort_mode else jnp.zeros((P, 3), jnp.float32)),
+            "dir": ((jnp.zeros((P,), jnp.float32),
+                     jnp.zeros((P,), jnp.float32),
+                     jnp.ones((P,), jnp.float32)) if sort_mode
+                    else jnp.zeros((P, 3), jnp.float32).at[:, 2].set(1.0)),
+            "mask": (tuple(jnp.zeros((P,), jnp.float32) for _ in range(3))
+                     if sort_mode else jnp.zeros((P, 3), jnp.float32)),
             "rng": jnp.zeros((P,), jnp.uint32),
             "lbn": jnp.zeros((P,), jnp.int32),
             "bounce": jnp.zeros((P,), jnp.int32),
@@ -151,7 +165,8 @@ def make_regen_integrator(settings: RenderSettings, width, height,
             st["rays"] = jnp.float32(0.0)
         if deferred:
             # per-path radiance, flushed to the image when the path dies
-            st["L"] = jnp.zeros((P, 3), jnp.float32)
+            st["L"] = (tuple(jnp.zeros((P,), jnp.float32) for _ in range(3))
+                       if sort_mode else jnp.zeros((P, 3), jnp.float32))
         if ring_mode:
             # cross-wave dead-path bank: each wave's dead tail is COPIED
             # (contiguous dynamic_update_slice — bandwidth, not per-index)
@@ -193,6 +208,15 @@ def make_regen_integrator(settings: RenderSettings, width, height,
         def body(st):
             accum = st["accum"]
             src_st = st
+            if sort_mode:
+                # planar carry -> (P,3) views: consumers either slice
+                # columns (stack-then-slice simplifies away) or run
+                # elementwise (the stack fuses), so no copies materialize
+                src_st = dict(st)
+                planar = ("orig", "dir", "mask") + (("L",) if deferred
+                                                    else ())
+                for f in planar:
+                    src_st[f] = jnp.stack(st[f], axis=1)
             active = src_st["active"]
 
             # ------------- respawn dead lanes (global queue) -------------
@@ -568,6 +592,62 @@ def make_regen_integrator(settings: RenderSettings, width, height,
                 key = jnp.where(active,
                                 (jnp.maximum(hit_slot, 0) << 3) | oct_,
                                 dead_key)
+                if sort_mode:
+                    # ONE stable multi-payload sort replaces argsort + the
+                    # (P,16) row-gather: 1.6 ms standalone at 1M lanes vs
+                    # 22.9 for the gather form (round-3 measurement). The
+                    # planar carry makes the sort's operands the carry
+                    # itself, so the slice/re-stack conversions that sank
+                    # the round-3 attempt (239.3 vs 215.6 ms/frame at
+                    # 1024^2 on a (P,3)-carried pool) never materialize.
+                    pack = ((out["medium_id"] + 1)
+                            | (su << 8)
+                            | (out["lbn"] << 16)
+                            | (out["bounce"] << 24))
+                    ops = [key,
+                           out["orig"][:, 0], out["orig"][:, 1],
+                           out["orig"][:, 2],
+                           out["dir"][:, 0], out["dir"][:, 1],
+                           out["dir"][:, 2],
+                           out["mask"][:, 0], out["mask"][:, 1],
+                           out["mask"][:, 2],
+                           out["bsdf_pdf"], out["rng"], out["pixel"], pack]
+                    if deferred:
+                        ops += [out["L"][:, 0], out["L"][:, 1],
+                                out["L"][:, 2]]
+                    srt = jax.lax.sort(tuple(ops), num_keys=1,
+                                       is_stable=True)
+                    if settings.dup_stage == "permute":
+                        srt2 = jax.lax.sort(
+                            (key + 1,) + tuple(ops[1:]), num_keys=1,
+                            is_stable=True)
+                        srt = tuple(
+                            s + (0.0 * s2 if s.dtype == jnp.float32
+                                 else 0 * s2)
+                            for s, s2 in zip(srt, srt2))
+                    out["orig"] = srt[1:4]
+                    out["dir"] = srt[4:7]
+                    out["mask"] = srt[7:10]
+                    out["bsdf_pdf"] = srt[10]
+                    out["rng"] = srt[11]
+                    out["pixel"] = srt[12]
+                    pk = srt[13]
+                    out["medium_id"] = (pk & 0xFF) - 1
+                    out["active"] = ((pk >> 8) & 1) != 0
+                    out["lbn"] = (pk >> 16) & 0xFF
+                    out["bounce"] = pk >> 24
+                    if deferred:
+                        out["L"] = srt[14:17]
+                        if ring_mode:
+                            (out["accum"], out["ring"],
+                             out["fill"]) = _flush_ring(out, n_fd)
+                        else:
+                            out["accum"] = _flush(out)
+                        # flushed radiance must not flush twice
+                        out["L"] = tuple(
+                            jnp.where(out["active"], c, 0.0)
+                            for c in out["L"])
+                    return out
                 src = jnp.argsort(key, stable=True).astype(jnp.int32)
                 # ONE merged row-gather moves the whole pool state: at
                 # 1M-row tables the gather cost is per-INDEX and nearly
@@ -644,21 +724,28 @@ def make_regen_integrator(settings: RenderSettings, width, height,
             branch of the cond instead — nothing is ever dropped."""
             acc = out["accum"]
             n_alive = out["alive"].astype(jnp.int32)
-            act_c = out["active"][:, None]
+            act = out["active"]
+
+            def Lc(c):
+                # L is a 3-tuple of planes under the sort permute, a (P,3)
+                # matrix under the gather permute
+                return (out["L"][c] if isinstance(out["L"], tuple)
+                        else out["L"][:, c])
 
             def flush_window(a):
                 ar_, ag_, ab_ = a
-                lw = jnp.where(act_c[P - Kw:], 0.0, out["L"][P - Kw:])
+                lw = [jnp.where(act[P - Kw:], 0.0, Lc(c)[P - Kw:])
+                      for c in range(3)]
                 pw = _swz(out["pixel"][P - Kw:])
-                return (ar_.at[pw].add(lw[:, 0]), ag_.at[pw].add(lw[:, 1]),
-                        ab_.at[pw].add(lw[:, 2]))
+                return (ar_.at[pw].add(lw[0]), ag_.at[pw].add(lw[1]),
+                        ab_.at[pw].add(lw[2]))
 
             def flush_full(a):
                 ar_, ag_, ab_ = a
-                lf = jnp.where(act_c, 0.0, out["L"])
+                lf = [jnp.where(act, 0.0, Lc(c)) for c in range(3)]
                 pf = _swz(out["pixel"])
-                return (ar_.at[pf].add(lf[:, 0]), ag_.at[pf].add(lf[:, 1]),
-                        ab_.at[pf].add(lf[:, 2]))
+                return (ar_.at[pf].add(lf[0]), ag_.at[pf].add(lf[1]),
+                        ab_.at[pf].add(lf[2]))
 
             fits = (P - n_alive) <= Kw
             acc = jax.lax.cond(fits, flush_window, flush_full, acc)
@@ -758,10 +845,15 @@ def make_regen_integrator(settings: RenderSettings, width, height,
                                            pre_flush, lambda args: args,
                                            (acc, ring, fill))
 
+            def Lc(c):
+                return (out["L"][c] if isinstance(out["L"], tuple)
+                        else out["L"][:, c])
+
             def append(args):
                 a, r, f = args
-                act_w = out["active"][P - Kr:, None]
-                lw = jnp.where(act_w, 0.0, out["L"][P - Kr:])
+                act_w1 = out["active"][P - Kr:]
+                lw = [jnp.where(act_w1, 0.0, Lc(c)[P - Kr:])
+                      for c in range(3)]
                 # dead lanes are the pool's exact tail suffix, so within
                 # this window they are its LAST n_dead rows; after the
                 # reversal below they land first. The window's alive-lane
@@ -780,10 +872,10 @@ def make_regen_integrator(settings: RenderSettings, width, height,
                 # < N + 1023, still well under 2^24 at any supported
                 # resolution). The ring banks the SWIZZLED slot so the
                 # drain scatters it as-is.
-                pw = jnp.where(out["active"][P - Kr:], 0.0,
+                pw = jnp.where(act_w1, 0.0,
                                _swz(out["pixel"][P - Kr:])
                                .astype(jnp.float32))
-                win = jnp.concatenate([lw, pw[:, None]], axis=1)[::-1]
+                win = jnp.stack(lw + [pw], axis=1)[::-1]
                 if settings.dup_stage == "scatter":
                     r2 = jax.lax.dynamic_update_slice(
                         r, win * 1.0000001, (f, jnp.int32(0)))
@@ -793,15 +885,16 @@ def make_regen_integrator(settings: RenderSettings, width, height,
 
             def fallback(args):
                 (ar_, ag_, ab_), r, f = args
-                lf = jnp.where(out["active"][:, None], 0.0, out["L"])
+                lf = [jnp.where(out["active"], 0.0, Lc(c))
+                      for c in range(3)]
                 pf = _swz(out["pixel"])
-                ar_ = ar_.at[pf].add(lf[:, 0])
-                ag_ = ag_.at[pf].add(lf[:, 1])
-                ab_ = ab_.at[pf].add(lf[:, 2])
+                ar_ = ar_.at[pf].add(lf[0])
+                ag_ = ag_.at[pf].add(lf[1])
+                ab_ = ab_.at[pf].add(lf[2])
                 if settings.dup_stage == "scatter":
-                    a2 = ar_.at[pf].add(lf[:, 0] * 1.0000001)
-                    b2 = ag_.at[pf].add(lf[:, 1] * 1.0000001)
-                    c2 = ab_.at[pf].add(lf[:, 2] * 1.0000001)
+                    a2 = ar_.at[pf].add(lf[0] * 1.0000001)
+                    b2 = ag_.at[pf].add(lf[1] * 1.0000001)
+                    c2 = ab_.at[pf].add(lf[2] * 1.0000001)
                     ar_ = ar_ + 0.0 * a2
                     ag_ = ag_ + 0.0 * b2
                     ab_ = ab_ + 0.0 * c2
@@ -812,6 +905,11 @@ def make_regen_integrator(settings: RenderSettings, width, height,
 
         st = jax.lax.while_loop(cond, body, st)
         if stop_after_waves:
+            if sort_mode:      # probes expect (P,3) vector state
+                st = dict(st)
+                for f in ("orig", "dir", "mask") + (("L",) if deferred
+                                                    else ()):
+                    st[f] = jnp.stack(st[f], axis=1)
             return st          # raw pool state for perf probes
         if ring_mode:
             # drain what the loop banked but never had to scatter

@@ -80,6 +80,16 @@ class RenderSettings:
     # pool permutation per wave. (A block-local-queue variant measured
     # worse still — numbers in ARCHITECTURE.md — and was deleted.)
     regen_order: str = "compact"
+    # compact-permute implementation: "gather" = argsort + one (P,13-16)
+    # row-gather (the round-2/3 form; per-index cost 21.7 ns at 1M rows),
+    # "sort" = one stable 17-operand lax.sort moving every pool column as
+    # a sort payload, with the pool's vector state carried as per-channel
+    # (P,) PLANES so the sort's operands are the carry itself. The sort
+    # form measured 1.6 ms standalone at 1M lanes in round 3 but LOST in
+    # situ against a (P,3)-carried pool (239.3 vs 215.6 ms/frame at
+    # 1024^2: slice/re-stack layout conversions around the sort); the
+    # planar carry is the layout change that removes those conversions.
+    regen_permute: str = "gather"
     # regen pool width cap (lanes), decoupled from the image: per-wave cost
     # is superlinear in pool size (the compact permute's per-index gather
     # cost cliffs with table row count — measured 1.9/10.4/21.7 ns per
