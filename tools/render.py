@@ -40,7 +40,7 @@ def load_checkpoint(path):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scene", help="sceneDesc.json path")
-    ap.add_argument("--demo", help="built-in demo variant: default, "
+    ap.add_argument("--demo", help="built-in demo variant: default, large, "
                     "lambertian, gold, subsurface, media")
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--width", type=int)
@@ -83,6 +83,9 @@ def main():
         from tpu_pathtracer.tracer.renderer import Renderer
         if args.demo == "head":
             fb, mats, envmap, texture = head_scene(cache_dir=args.cache_dir)
+        elif args.demo == "large":
+            from tpu_pathtracer.scene.demo import large_scene
+            fb, mats, envmap, texture = large_scene(cache_dir=args.cache_dir)
         else:
             fb, mats, envmap, texture = testobj_scene(
                 cache_dir=args.cache_dir, variant=args.demo or "default")
