@@ -78,6 +78,9 @@ def main():
     ap.add_argument("--frames", type=int, nargs=2, default=(1, 5))
     ap.add_argument("--top", type=int, default=30)
     ap.add_argument("--demo", default="default")
+    ap.add_argument("--set", default="",
+                    help="comma-separated RenderSettings field=value "
+                         "overrides (Python literals)")
     args = ap.parse_args()
 
     import jax
@@ -91,8 +94,16 @@ def main():
     W = args.w or args.wh
     H = args.h or args.wh
     r = Renderer(fb, mats, envmap=envmap, texture=texture, width=W, height=H)
+    st = r.settings
+    if args.set:
+        import dataclasses
+        ov = {}
+        for pair in args.set.split(","):
+            k, v = pair.split("=", 1)
+            ov[k] = eval(v)
+        st = dataclasses.replace(st, **ov)
     cv = jnp.asarray(default_camera(W, H).build_render_camera().as_array())
-    fn = jax.jit(make_regen_integrator(r.settings, W, H),
+    fn = jax.jit(make_regen_integrator(st, W, H),
                  static_argnames=("n_frames",))
     accum = r.zeros_accum()
 

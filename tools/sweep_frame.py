@@ -42,8 +42,12 @@ def main():
     from tpu_pathtracer.tracer.renderer import Renderer
     from tpu_pathtracer.tracer.regen import make_regen_integrator
 
-    fb, mats, envmap, texture = testobj_scene(cache_dir=".bvh_cache",
-                                              variant=args.demo)
+    if args.demo == "large":
+        from tpu_pathtracer.scene.demo import large_scene
+        fb, mats, envmap, texture = large_scene(cache_dir=".bvh_cache")
+    else:
+        fb, mats, envmap, texture = testobj_scene(cache_dir=".bvh_cache",
+                                                  variant=args.demo)
     W = args.w or args.wh
     H = args.h or args.wh
     r = Renderer(fb, mats, envmap=envmap, texture=texture, width=W, height=H)

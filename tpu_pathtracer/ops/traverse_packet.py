@@ -901,10 +901,10 @@ def packet_intersect(packed, orig, raydir, tmin, tmax, anyhit=False,
         # physical VMEM, so raise the cap for big-queue configs (and for
         # split tables, whose full stream rides VMEM too)
         cp = {}
-        if (queue and (blk * LANES * 4 * (len(args) + n_out) * 2
-                       + (packed.size * 4 if S else 0)) > 15 << 20):
+        if (blk * LANES * 4 * (len(args) + n_out) * 2 > 15 << 20
+                or (S and packed.size * 4 > 2 << 20)):
             cp = {"compiler_params": pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024)}
+                vmem_limit_bytes=118 * 1024 * 1024)}
         kern = functools.partial(kern, split_rows=S)
         outs = pl.pallas_call(
             kern, grid_spec=grid_spec, out_shape=out_shape,
@@ -918,10 +918,10 @@ def packet_intersect(packed, orig, raydir, tmin, tmax, anyhit=False,
         tmin_spec = pl.BlockSpec((tmin1.shape[0],), lambda i: (0,),
                                  memory_space=pltpu.SMEM)
         cp = {}
-        if (queue and (blk * LANES * 4 * (len(args) + n_out) * 2
-                       + packed.size * 4) > 15 << 20):
+        if (blk * LANES * 4 * (len(args) + n_out) * 2 > 15 << 20
+                or packed.size * 4 > 2 << 20):
             cp = {"compiler_params": pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024)}
+                vmem_limit_bytes=118 * 1024 * 1024)}
         outs = pl.pallas_call(
             kern,
             grid=(n_tiles,),
