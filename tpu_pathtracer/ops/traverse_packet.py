@@ -48,7 +48,7 @@ F32_BIG = np.float32(1e30)
 
 
 def _make_step(tab_ref, anyhit, smem_tabs=None, tmin=None,
-               anyhit_early_stop=True, split_rows=0):
+               anyhit_early_stop=True, split_rows=0, packed_rows=False):
     """Returns step(state, stack_ref, base, rays) -> state for ONE packet.
     rays: dict of per-lane (SUB,128) arrays + precomputed idir/ood — passed
     per call so the queue kernel can swap ray sets when a slot claims a new
@@ -114,7 +114,18 @@ def _make_step(tab_ref, anyhit, smem_tabs=None, tmin=None,
             # avoided these extractions compiled but silently produced
             # zero hits on real v5e hardware — do not reintroduce it
             # without an on-device check.)
-            prow = tab_ref[pl.ds(r, 1), :]
+            if packed_rows:
+                # packed-row table (Kp/8, 128): 8 logical 16-col rows per
+                # native 128-lane row — kills the 8x lane padding a (K,16)
+                # f32 VMEM array pays under (8,128) tiling. Row r sits at
+                # lanes (r%8)*16..+16 of native row r//8; a dynamic roll
+                # brings it to lanes 0..15, then the extractions are the
+                # same static (1,1)-slice reductions as the plain path.
+                vrow = tab_ref[pl.ds(r >> 3, 1), :]
+                off = (r & 7) << 4
+                prow = pltpu.roll(vrow, -off, axis=1)
+            else:
+                prow = tab_ref[pl.ds(r, 1), :]
             fs = tuple(jnp.sum(prow[0:1, c:c + 1]) for c in range(12))
             ms = tuple(jnp.sum(jax.lax.bitcast_convert_type(
                 prow[0:1, c:c + 1], jnp.int32)) for c in (12, 13))
@@ -383,7 +394,7 @@ def _make_step_branch(tab_ref, rays, anyhit, smem_tabs=None, tmin=None):
 
 def _kernel(*refs, anyhit, stack_depth, interleave, sub, smem_table,
             step_mode="fused", anyhit_early_stop=True, count_steps=False,
-            split_rows=0):
+            split_rows=0, packed_rows=False):
     if smem_table and split_rows:
         (tab_smem, meta_smem, tmin_smem, tab_ref, ox_ref, oy_ref, oz_ref,
          dx_ref, dy_ref, dz_ref, tmax_ref, act_ref, slot_ref, t_ref,
@@ -419,7 +430,8 @@ def _kernel(*refs, anyhit, stack_depth, interleave, sub, smem_table,
     fused_step = _make_step(tab_ref, anyhit, smem_tabs=smem_tabs,
                             tmin=tmin,
                             anyhit_early_stop=anyhit_early_stop,
-                            split_rows=split_rows)
+                            split_rows=split_rows,
+                            packed_rows=packed_rows)
     for g in range(G):
         sl = pl.ds(g * sub, sub)
         rays = {}
@@ -485,7 +497,7 @@ def _kernel(*refs, anyhit, stack_depth, interleave, sub, smem_table,
 
 def _queue_kernel(*refs, anyhit, stack_depth, interleave, sub, smem_table,
                   queue_k, prefix_act=False, anyhit_early_stop=True,
-                  count_steps=False, split_rows=0):
+                  count_steps=False, split_rows=0, packed_rows=False):
     """Work-queue variant of _kernel: one instance owns `queue_k`
     consecutive packets and `interleave` step slots; when a slot's packet
     finishes it CLAIMS the instance's next unclaimed packet (greedy list
@@ -604,7 +616,7 @@ def _queue_kernel(*refs, anyhit, stack_depth, interleave, sub, smem_table,
 
     step = _make_step(tab_ref, anyhit, smem_tabs=smem_tabs, tmin=tmin,
                       anyhit_early_stop=anyhit_early_stop,
-                      split_rows=split_rows)
+                      split_rows=split_rows, packed_rows=packed_rows)
 
     slots0 = []
     for g in range(G):
@@ -771,8 +783,9 @@ def packet_intersect(packed, orig, raydir, tmin, tmax, anyhit=False,
         # explicitly until its on-device A/B lands)
         table_mem = ("smem" if not interpret
                      and table_bytes <= _SMEM_TABLE_BUDGET_BYTES else "vmem")
-    if table_mem == "split" and step_mode != "fused":
-        raise ValueError("table_mem='split' requires step_mode='fused'")
+    if table_mem in ("split", "vmem_packed") and step_mode != "fused":
+        raise ValueError("table_mem='%s' requires step_mode='fused'"
+                         % table_mem)
     if table_mem == "smem" and table_bytes > _SMEM_TABLE_BUDGET_BYTES:
         # fail fast with a clear message instead of an opaque remote Mosaic
         # compile error 30-130 s later
@@ -852,11 +865,19 @@ def packet_intersect(packed, orig, raydir, tmin, tmax, anyhit=False,
     if count_steps:
         out_shape.append(jax.ShapeDtypeStruct((rows, LANES), jnp.int32))
     n_out = len(out_shape)
+    packed_rows = table_mem == "vmem_packed"
+    if packed_rows:
+        table_mem = "vmem"
+        Kp = -(-K // 8) * 8
+        if Kp != K:
+            packed = jnp.pad(packed, ((0, Kp - K), (0, 0)))
+        packed = packed.reshape(Kp // 8, 8 * packed.shape[1])
     if queue:
         kern = functools.partial(_queue_kernel, anyhit=anyhit,
                                  stack_depth=stack_depth,
                                  interleave=interleave, sub=tile_sub,
                                  smem_table=(table_mem in ("smem", "split")),
+                                 packed_rows=packed_rows,
                                  queue_k=queue_k, prefix_act=use_prefix,
                                  anyhit_early_stop=anyhit_early_stop,
                                  count_steps=count_steps)
@@ -865,6 +886,7 @@ def packet_intersect(packed, orig, raydir, tmin, tmax, anyhit=False,
                                  stack_depth=stack_depth,
                                  interleave=interleave, sub=tile_sub,
                                  smem_table=(table_mem in ("smem", "split")),
+                                 packed_rows=packed_rows,
                                  step_mode=step_mode,
                                  anyhit_early_stop=anyhit_early_stop,
                                  count_steps=count_steps)
