@@ -613,6 +613,7 @@ def main():
                        "headline = weakest baseline axis; floor = measured "
                        "primitive rates composed per wave",
     }
+    extra.update(lg)          # reference-asset-scale axes (*_large_scene)
     if ax1 <= ax2:
         head = {"metric": "traversal_mrays_per_sec",
                 "value": round(trav_mrays, 2), "unit": "Mrays/s",

@@ -118,7 +118,7 @@ def main():
     last_snap = time.time()
     # batch samples per device dispatch: the tunneled runtime costs ~40 ms
     # per host round-trip, so progressive frames are grouped
-    batch = max(1, min(16, args.spp // 8)) if hasattr(renderer, "render_frames") else 1
+    batch = max(1, min(32, args.spp // 8)) if hasattr(renderer, "render_frames") else 1
     frame = start_frame + 1
     while frame <= args.spp:
         n = min(batch, args.spp - frame + 1)
