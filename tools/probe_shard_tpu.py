@@ -30,6 +30,11 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--wh", type=int, default=512)
+    ap.add_argument("--w", type=int, default=0)
+    ap.add_argument("--h", type=int, default=0)
+    ap.add_argument("--demo", default="default",
+                    help="testobj_scene variant (media/subsurface exercise "
+                         "the (32,4) workload-class packet shape)")
     ap.add_argument("--frames", type=int, nargs=2, default=(1, 5))
     args = ap.parse_args()
 
@@ -44,8 +49,10 @@ def main():
     dev = jax.devices()[0]
     print("device:", dev, flush=True)
 
-    W = H = args.wh
-    fb, mats, envmap, texture = testobj_scene(cache_dir=".bvh_cache")
+    W = args.w or args.wh
+    H = args.h or args.wh
+    fb, mats, envmap, texture = testobj_scene(cache_dir=".bvh_cache",
+                                              variant=args.demo)
     r = Renderer(fb, mats, envmap=envmap, texture=texture, width=W, height=H)
     cam = default_camera(W, H).build_render_camera()
 
@@ -91,8 +98,8 @@ def main():
 
     ms_p = cost(r, r.zeros_accum())
     ms_s = cost(sr, sr.zeros_accum())
-    print("marginal ms/frame @%d^2  plain: %.1f  sharded(1-TPU-mesh): %.1f "
-          "(tax %+.1f%%)" % (W, ms_p, ms_s, (ms_s / ms_p - 1) * 100),
+    print("marginal ms/frame @%dx%d  plain: %.1f  sharded(1-TPU-mesh): %.1f "
+          "(tax %+.1f%%)" % (W, H, ms_p, ms_s, (ms_s / ms_p - 1) * 100),
           flush=True)
 
 
