@@ -306,3 +306,49 @@ def test_packet_queue_active_prefix_matches_mask(scene):
                          RAY_MIN, RAY_MAX, stack_depth=sd, queue_k=4,
                          tile_sub=8, interleave=2, active=mask,
                          active_prefix=jnp.int32(7), interpret=True)
+
+
+def test_packet_table_modes_agree():
+    """The round-4 table-residency variants — 'split' (SMEM BFS hot prefix
+    + VMEM deep rows, per-step cond) and 'vmem_packed' ((K/8,128) packed
+    rows + dynamic roll) — must agree with brute force in interpret mode
+    across fixed, queue and prefix-act kernel configs. (On-device gates
+    live in tools/probe_split.py / probe_dma.py and bench.py; interpret
+    mode pins the logic.)"""
+    import numpy as np
+    import jax.numpy as jnp
+    from tpu_pathtracer.scene import procedural
+    from tpu_pathtracer.accel import flatten_mesh_bvh
+    from tpu_pathtracer.tracer.traverse import (
+        brute_force_intersect, pack_stream)
+    from tpu_pathtracer.ops import traverse_packet as tp
+    from tpu_pathtracer.ops.traverse_packet import packet_intersect
+
+    mesh = procedural.make_test_scene()
+    fb = flatten_mesh_bvh(mesh)
+    packed = jnp.asarray(pack_stream(fb.prims, fb.meta))
+    sd = fb.max_depth + 2
+    rng = np.random.default_rng(5)
+    n = 256
+    co = rng.uniform(-3, 3, (n, 3)).astype(np.float32)
+    co[:, 1] = rng.uniform(0.3, 3, n)
+    cd = rng.normal(size=(n, 3)).astype(np.float32)
+    cd /= np.linalg.norm(cd, axis=-1, keepdims=True)
+    bt, _ = brute_force_intersect(mesh.tri_vertices(), co, cd, 1e-3, 1e30)
+
+    old_budget = tp._SMEM_TABLE_BUDGET_BYTES
+    try:
+        # force a small prefix so split's BOTH sides execute
+        tp._SMEM_TABLE_BUDGET_BYTES = 200 * 56
+        for mode in ("split", "vmem_packed"):
+            for qk in (0, 128):
+                hs, _ = packet_intersect(
+                    packed, jnp.asarray(co), jnp.asarray(cd), 1e-3, 1e30,
+                    stack_depth=sd, tile_sub=8, interleave=4,
+                    table_mem=mode, queue_k=qk, interpret=True)
+                hs = np.asarray(hs)
+                ours = np.where(hs >= 0,
+                                fb.tri_orig[np.maximum(hs, 0)], -1)
+                assert (ours == bt).mean() > 0.999, (mode, qk)
+    finally:
+        tp._SMEM_TABLE_BUDGET_BYTES = old_budget
