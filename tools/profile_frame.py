@@ -96,11 +96,12 @@ def main():
     r = Renderer(fb, mats, envmap=envmap, texture=texture, width=W, height=H)
     st = r.settings
     if args.set:
+        import ast
         import dataclasses
         ov = {}
         for pair in args.set.split(","):
             k, v = pair.split("=", 1)
-            ov[k] = eval(v)
+            ov[k] = ast.literal_eval(v)
         st = dataclasses.replace(st, **ov)
     cv = jnp.asarray(default_camera(W, H).build_render_camera().as_array())
     fn = jax.jit(make_regen_integrator(st, W, H),

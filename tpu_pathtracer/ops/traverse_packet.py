@@ -783,6 +783,11 @@ def packet_intersect(packed, orig, raydir, tmin, tmax, anyhit=False,
         # explicitly until its on-device A/B lands)
         table_mem = ("smem" if not interpret
                      and table_bytes <= _SMEM_TABLE_BUDGET_BYTES else "vmem")
+    if table_mem not in ("smem", "vmem", "split", "vmem_packed"):
+        # a typo ("smem_split", "packed", ...) must not silently fall
+        # through to the plain-VMEM kernel and publish its numbers
+        raise ValueError("unknown table_mem %r (want auto/smem/vmem/"
+                         "split/vmem_packed)" % (table_mem,))
     if table_mem in ("split", "vmem_packed") and step_mode != "fused":
         raise ValueError("table_mem='%s' requires step_mode='fused'"
                          % table_mem)

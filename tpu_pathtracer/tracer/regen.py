@@ -74,6 +74,10 @@ def make_regen_integrator(settings: RenderSettings, width, height,
     # stable multi-payload lax.sort whose operands are the carry itself —
     # no concat into a (P,16) gather operand, no per-index row-gather, no
     # slice/re-stack layout conversions (see RenderSettings.regen_permute).
+    if settings.regen_permute not in ("gather", "sort"):
+        # a typo must not silently behave as "gather"
+        raise ValueError("unknown regen_permute %r (want gather/sort)"
+                         % (settings.regen_permute,))
     sort_mode = settings.regen_permute == "sort"
     if sort_mode and settings.regen_order != "compact":
         raise ValueError("regen_permute='sort' requires "

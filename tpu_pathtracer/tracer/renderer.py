@@ -348,6 +348,16 @@ class Renderer:
         return jnp.concatenate(out, axis=0)
 
     def accum_to_image(self, accum, frame_count):
+        """Tonemap the lane-ordered accumulation into an [H,W,3] uint8 image.
+
+        Dispatch is TYPE-based: a jax array takes the on-device f32
+        tonemap + uint8-quantize path and reads back 6 MB of uint8 (the
+        relay's 0.7 MB/s download makes a 24 MB f32 readback cost ~34 s);
+        an np.ndarray takes the host f64 tonemap (core.image.tonemap).
+        The two can differ by at most 1 uint8 step (f32 vs f64 pow before
+        rounding; measured 0 in practice) — tool authors who need
+        bit-stable output across call sites should pass one type
+        consistently."""
         from ..core.image import tonemap
         import numpy as _np
         if not isinstance(accum, _np.ndarray):
