@@ -207,6 +207,13 @@ def main():
     _gm = _ilu.module_from_spec(_gspec)
     _gspec.loader.exec_module(_gm)
     _gcfg = _gm._configs()
+    # Thresholds (VERDICT r04 weak#5 — the old 0.05 RMSE was ~50x looser
+    # than needed): same-seed device-vs-CPU divergence is ONLY backend
+    # transcendental drift on a handful of chaotic paths — measured RMSE
+    # 1.2e-3 (media) / 0.9e-3 (sss) at 96^2 x 12 spp on v5e — so the gate
+    # asserts RMSE < 5e-3 (4x margin over measured drift, 10x tighter than
+    # round 4) AND mean brightness within 1% (a denormal-class bug that
+    # DIMS rather than zeroes shifts the mean far more than drift can).
     for _gname in ("c4_media", "c5_bssrdf"):
         _gfile = _os.path.join(_os.path.dirname(_gp), "goldens",
                                _gname + ".npz")
@@ -216,9 +223,13 @@ def main():
         _want = np.load(_gfile)["img"]
         _rmse = float(np.sqrt(np.mean((_img - _want) ** 2)))
         assert np.all(np.isfinite(_img)), "%s: non-finite on device" % _gname
-        assert _rmse < 0.05, (
-            "%s diverges from CPU golden on device: RMSE %.4f"
+        assert _rmse < 5e-3, (
+            "%s diverges from CPU golden on device: RMSE %.4g"
             % (_gname, _rmse))
+        _mr = float(_img.mean()) / max(float(_want.mean()), 1e-9)
+        assert abs(_mr - 1.0) < 0.01, (
+            "%s brightness drifts from CPU golden on device: ratio %.4f"
+            % (_gname, _mr))
 
     # ---------------- axis 1: traversal Mrays/s at 1024^2 ----------------
     W = H = 1024
@@ -429,8 +440,27 @@ def main():
     # weak#7 asked for a wider chain than the old 2-frame one)
     ms_hd, rays_hd, waves_hd = frame_cost(1920, 1080, frames=(1, 5))
     render_mrays = rays_hd / (ms_hd / 1e3) / 1e6
-    tt1024_min = ms_hd * 1024.0 / 60e3
+    tt1024_marginal_min = ms_hd * 1024.0 / 60e3
     baseline_tt_min = rays_hd * 1024.0 / 100e6 / 60.0
+    # the PUBLISHED time-to-1024spp is the MEASURED wall clock of a real
+    # tools/render.py run when its artifact exists (VERDICT r04 #6 — the
+    # extrapolation understated reality by 15% of IO/startup); the marginal
+    # extrapolation is reported alongside for reconciliation
+    tt1024_min = tt1024_marginal_min
+    tt1024_src = "marginal extrapolation (no measured wall artifact)"
+    try:
+        import os as _osw
+        _wp = _osw.path.join(_osw.path.dirname(_osw.path.abspath(__file__)),
+                             "renders", "progressive_1080p_1024spp.png"
+                             ".wall.json")
+        with open(_wp) as _f:
+            _w = json.load(_f)
+        if (_w["width"], _w["height"], _w["spp"],
+                _w.get("start_frame", 0)) == (1920, 1080, 1024, 0):
+            tt1024_min = _w["wall_s"] / 60.0
+            tt1024_src = "measured wall clock (renders/*.wall.json)"
+    except Exception:
+        pass
 
     # 1024^2 frame cost for cross-round comparability (BENCH_r01 extra).
     # Same (1,5) chain as the 1080p axis and the sweep tools: the old
@@ -587,6 +617,8 @@ def main():
         "midframe_mrays_per_sec": round(midframe_mrays, 2),
         "render_mrays_per_sec_1080p": round(render_mrays, 3),
         "time_to_1024spp_1080p_min": round(tt1024_min, 2),
+        "time_to_1024spp_1080p_min_marginal": round(tt1024_marginal_min, 2),
+        "time_to_1024spp_source": tt1024_src,
         "baseline_time_to_1024spp_1080p_min": round(baseline_tt_min, 2),
         "ms_per_frame_1spp_1080p": round(ms_hd, 1),
         "rays_per_frame_1080p": round(rays_hd),

@@ -21,6 +21,23 @@ def test_native_matches_python_builder():
     assert abs(root_n.max_depth() - root_p.max_depth()) <= 2
 
 
+def test_native_tri_cost():
+    # the C++ builder honors Platform.sah_triangle_cost (round-5 large-scene
+    # leaf-size lever): a cheaper triangle grows leaves, and the tree should
+    # agree with the Python builder run at the same cost ratio
+    mesh = procedural.make_uv_sphere((0, 0.5, 0), 1.0, 0, n_lat=10, n_lon=14)
+    tv = mesh.tri_vertices()
+    plat = Platform(sah_triangle_cost=0.25)
+    root_n, tidx_n = build_bvh_native(tv, platform=plat)
+    root_p, tidx_p, _ = build_bvh(tv, platform=plat)
+    validate_bvh(root_n, tidx_n, mesh.num_triangles)
+    assert root_n.sah_cost(plat) == pytest.approx(root_p.sah_cost(plat),
+                                                  rel=1e-3)
+    # cheaper triangles must grow leaves vs the default build
+    root_d, _ = build_bvh_native(tv)
+    assert root_n.num_nodes() < root_d.num_nodes()
+
+
 def test_native_object_only():
     mesh = procedural.make_test_scene()
     tv = mesh.tri_vertices()

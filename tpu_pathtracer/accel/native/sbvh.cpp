@@ -72,6 +72,12 @@ struct Builder {
   float split_alpha;
   int min_leaf, max_leaf;
   bool do_spatial;
+  // SAH triangle-intersection cost relative to a node step (the Python
+  // builder's Platform.sah_triangle_cost). <1 grows leaves (fewer node
+  // steps, more tris per leaf) — the leaf-size lever for packet
+  // traversal, where every step costs a whole packet (ARCHITECTURE.md
+  // "Reference-asset scale").
+  double tri_cost = 1.0;
 
   std::vector<Ref> refs;      // reference stack; current node's refs at tail
   std::vector<Node> nodes;
@@ -136,8 +142,8 @@ struct Builder {
       AABB lb;
       for (int i = 1; i < num_ref; ++i) {
         lb.grow(refs[base + i - 1].box);
-        double sah = node_sah + lb.area() * i +
-                     right_acc[i - 1].area() * (num_ref - i);
+        double sah = node_sah + (lb.area() * i +
+                     right_acc[i - 1].area() * (num_ref - i)) * tri_cost;
         if (sah < best.sah) {
           best.sah = sah;
           best.dim = dim;
@@ -202,7 +208,8 @@ struct Builder {
         lb2.grow(bins[i - 1]);
         lnum += enter[i - 1];
         rnum -= exit_[i - 1];
-        double sah = node_sah + lb2.area() * lnum + racc[i - 1].area() * rnum;
+        double sah = node_sah +
+                     (lb2.area() * lnum + racc[i - 1].area() * rnum) * tri_cost;
         if (sah < best.sah) {
           best.sah = sah;
           best.dim = dim;
@@ -287,7 +294,7 @@ struct Builder {
       return make_leaf(box, num_ref);
 
     double area = box.area();
-    double leaf_sah = area * num_ref;
+    double leaf_sah = area * num_ref * tri_cost;
     double node_sah = area * 2.0;
     ObjSplit obj = find_object_split(num_ref, node_sah);
 
@@ -355,7 +362,7 @@ struct Builder {
 extern "C" {
 
 int sbvh_build(const float* verts, int num_tris, float split_alpha,
-               int min_leaf, int max_leaf, int do_spatial,
+               int min_leaf, int max_leaf, int do_spatial, float tri_cost,
                float** out_bounds, int** out_meta, int** out_tri_idx,
                int* out_num_nodes, int* out_num_idx, int* out_root) {
   Builder b;
@@ -365,6 +372,7 @@ int sbvh_build(const float* verts, int num_tris, float split_alpha,
   b.min_leaf = min_leaf;
   b.max_leaf = max_leaf;
   b.do_spatial = do_spatial != 0;
+  b.tri_cost = tri_cost;
   int root = b.run();
 
   int nn = (int)b.nodes.size();

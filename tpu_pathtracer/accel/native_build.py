@@ -50,7 +50,7 @@ def get_lib():
             lib.sbvh_build.restype = ctypes.c_int
             lib.sbvh_build.argtypes = [
                 ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_float,
-                ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_float,
                 ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
                 ctypes.POINTER(ctypes.POINTER(ctypes.c_int)),
                 ctypes.POINTER(ctypes.POINTER(ctypes.c_int)),
@@ -121,6 +121,7 @@ def build_bvh_native(tri_verts, platform=None, params=None):
         int(platform.min_leaf_size),
         int(min(platform.max_leaf_size, 0x7FFFFFF)),
         1 if params.enable_spatial_splits else 0,
+        ctypes.c_float(platform.sah_triangle_cost / platform.sah_node_cost),
         ctypes.byref(out_bounds), ctypes.byref(out_meta),
         ctypes.byref(out_tidx), ctypes.byref(nn), ctypes.byref(ni),
         ctypes.byref(root_id))

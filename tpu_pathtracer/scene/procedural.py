@@ -204,6 +204,66 @@ def make_plane_grid(center, size_x, size_z, mat_id, nx=64, nz=64,
     return TriangleMesh(verts, idx, uv, nrm, mats)
 
 
+def make_organic_blob(center=(0.0, 1.0, 0.0), radius=0.9, mat_id=1,
+                      n_lat=160, n_lon=320, seed=11):
+    """Reference-asset-scale IRREGULAR organic mesh (~2*n_lat*n_lon tris):
+    the head.ply stand-in for large-scene media/BSSRDF benchmarks
+    (reference src/scenes.txt:8-11 renders subsurface on a scanned ~10^5-tri
+    mesh). A regular tessellated sphere is the most packet-coherent geometry
+    possible — the BEST case for packet-union traversal — so this blob
+    breaks the regularity the way a scan does: multi-octave sinusoidal
+    displacement along the radius plus per-vertex lattice jitter, then
+    smooth vertex normals recomputed by area-weighted face averaging."""
+    sph = make_uv_sphere_fast(center, radius, mat_id,
+                              n_lat=n_lat, n_lon=n_lon)
+    rng = np.random.default_rng(seed)
+    v = sph.vertices.astype(np.float64)
+    c = np.asarray(center, np.float64)
+    r = v - c
+    ln = np.linalg.norm(r, axis=-1, keepdims=True)
+    rn = r / np.maximum(ln, 1e-12)
+    # multi-octave "scan bumps": smooth across the seam (functions of the
+    # 3-D position, not the (i,j) lattice)
+    disp = (0.16 * np.sin(2.3 * v[:, 0] + 0.7) * np.cos(1.9 * v[:, 1])
+            * np.sin(2.6 * v[:, 2] + 1.1)
+            + 0.08 * np.sin(5.1 * v[:, 1] + 2.0) * np.cos(4.3 * v[:, 0])
+            + 0.035 * np.sin(11.0 * v[:, 2] + 0.3) * np.sin(9.0 * v[:, 0])
+            + 0.015 * np.sin(23.0 * v[:, 1]) * np.cos(19.0 * v[:, 2]))
+    v = c + rn * (ln + disp[:, None])
+    # lattice jitter: scanned meshes have no regular parameterization; a
+    # tangential shuffle of ~1/3 edge length breaks the grid coherence.
+    # Pole rows (first/last) stay put so seam vertices keep coinciding.
+    edge = radius * 2 * np.pi / n_lon
+    jit = rng.normal(scale=edge / 3.0, size=v.shape)
+    jit -= np.sum(jit * rn, axis=-1, keepdims=True) * rn  # tangential only
+    row = np.arange(v.shape[0]) // (n_lon + 1)
+    interior = ((row > 0) & (row < n_lat))[:, None]
+    # the lon seam (j=0 and j=n_lon are the same physical point) must
+    # move identically: copy column 0's jitter onto column n_lon
+    jit = jit.reshape(n_lat + 1, n_lon + 1, 3)
+    jit[:, n_lon] = jit[:, 0]
+    jit = jit.reshape(-1, 3)
+    v = np.where(interior, v + jit, v)
+    verts = v.astype(np.float32)
+
+    # smooth vertex normals: area-weighted face-normal accumulation
+    idx = sph.indices
+    fv = verts[idx]                       # (T,3,3)
+    fn = np.cross(fv[:, 1] - fv[:, 0], fv[:, 2] - fv[:, 0])
+    vn = np.zeros_like(verts)
+    for k in range(3):
+        np.add.at(vn, idx[:, k], fn)
+    # seam columns share accumulation
+    vn2 = vn.reshape(n_lat + 1, n_lon + 1, 3)
+    seam = vn2[:, 0] + vn2[:, n_lon]
+    vn2[:, 0] = seam
+    vn2[:, n_lon] = seam
+    vn = vn2.reshape(-1, 3)
+    vn /= np.maximum(np.linalg.norm(vn, axis=-1, keepdims=True), 1e-12)
+    nrm = vn[idx].astype(np.float32)
+    return TriangleMesh(verts, idx, sph.uv, nrm, sph.material_ids)
+
+
 def make_large_scene(n_lat=128, n_lon=256, ground_div=48):
     """Reference-asset-scale variant of make_test_scene: same composition
     (textured ground, inner Fresnel sphere, outer glass shell, plate), but

@@ -27,7 +27,7 @@ from ..core.rng import RaySampler, wang_hash
 from ..scene.config import MAT_DIFF
 from .wavefront import (
     RenderSettings, trace_rays, fetch_attributes, gather_material,
-    env_miss_weighted, texture_radiance, shade,
+    env_miss_weighted, env_tex_merged, texture_radiance, shade,
 )
 from .medium import medium_interaction
 from .bssrdf_shade import bssrdf_scatter
@@ -321,21 +321,6 @@ def make_regen_integrator(settings: RenderSettings, width, height,
 
             surf = active & ~sampled_medium
             miss = surf & (hit_t > 1e10)
-            # radiance + sampler pdf ride ONE gather; bsdf_pdf (recorded at
-            # the previous diffuse vertex, negative = weight 1) closes MIS
-            env = env_miss_weighted(scene, settings, raydir, bsdf_pdf,
-                                    cam_vec[15])
-            if settings.dup_stage == "envmiss":
-                # perturbed pdf defeats CSE; consumed with x0.0
-                e2 = env_miss_weighted(scene, settings, raydir,
-                                       bsdf_pdf + 1e-7, cam_vec[15])
-                env = env + 0.0 * e2
-            # radiance is ADDITIVE: every term is final when it occurs, so
-            # this wave's contributions are scatter-added into the image at
-            # the end of the wave instead of riding an accumulator column
-            # through the pool permute (3 fewer permuted columns)
-            contrib = jnp.where(miss[:, None], mask * env, 0.0)
-            surf = surf & ~miss
 
             hitpoint = orig + raydir * hit_t[:, None]
             hit_uv, smooth_n, mat_id, tri_n = fetch_attributes(
@@ -347,15 +332,53 @@ def make_regen_integrator(settings: RenderSettings, width, height,
                 smooth_n = smooth_n + 0.0 * n2_
                 mat_id = mat_id + 0 * m2_
                 tri_n = tri_n + 0.0 * t2_
+            # radiance + sampler pdf ride ONE gather; bsdf_pdf (recorded at
+            # the previous diffuse vertex, negative = weight 1) closes MIS.
+            # When the merged envtex table exists, the env-miss fetch and
+            # the texture fetch share that one gather (a lane is either a
+            # miss or a surface hit — wavefront.env_tex_merged; measured
+            # 13.3 vs 26.9 ms per 1M idx for the two separate gathers).
+            merged_et = (settings.use_texture and settings.use_envmap
+                         and settings.env_importance_sampling
+                         and "envtex_quad" in scene)
+            if merged_et:
+                env, tex_rgb = env_tex_merged(scene, settings, raydir,
+                                              bsdf_pdf, cam_vec[15],
+                                              miss, hit_uv)
+                if settings.dup_stage in ("envmiss", "texture"):
+                    e2, t2 = env_tex_merged(scene, settings, raydir,
+                                            bsdf_pdf + 1e-7, cam_vec[15],
+                                            miss, hit_uv)
+                    env = env + 0.0 * e2
+                    tex_rgb = tex_rgb + 0.0 * t2
+            else:
+                tex_rgb = None
+                env = env_miss_weighted(scene, settings, raydir, bsdf_pdf,
+                                        cam_vec[15])
+                if settings.dup_stage == "envmiss":
+                    # perturbed pdf defeats CSE; consumed with x0.0
+                    e2 = env_miss_weighted(scene, settings, raydir,
+                                           bsdf_pdf + 1e-7, cam_vec[15])
+                    env = env + 0.0 * e2
+            # radiance is ADDITIVE: every term is final when it occurs, so
+            # this wave's contributions are scatter-added into the image at
+            # the end of the wave instead of riding an accumulator column
+            # through the pool permute (3 fewer permuted columns)
+            contrib = jnp.where(miss[:, None], mask * env, 0.0)
+            surf = surf & ~miss
+
             mat = gather_material(scene, mat_id)
             use_sn = mat["useNormal"] != 0
             n = normalize(jnp.where(use_sn[:, None], smooth_n, tri_n))
             objcol = mat["objcol"]
             if settings.use_texture:
-                tex = texture_radiance(scene, hit_uv)
-                if settings.dup_stage == "texture":
-                    t2 = texture_radiance(scene, hit_uv + 1e-7)
-                    tex = tex + 0.0 * t2
+                if tex_rgb is not None:
+                    tex = tex_rgb
+                else:
+                    tex = texture_radiance(scene, hit_uv)
+                    if settings.dup_stage == "texture":
+                        t2 = texture_radiance(scene, hit_uv + 1e-7)
+                        tex = tex + 0.0 * t2
                 objcol = jnp.where((mat["useTexture"] != 0)[:, None], tex,
                                    objcol)
             into = dot(n, raydir) < 0.0

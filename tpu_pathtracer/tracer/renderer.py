@@ -225,9 +225,16 @@ class Renderer:
                 scene["envmap_quad"] = jnp.asarray(equad)
             if texture is not None:
                 tex = np.asarray(texture, np.float32)
-                scene["texture_quad"] = jnp.asarray(
-                    make_quad_texture(tex, wrap_u=True, wrap_v=True))
+                tquad = make_quad_texture(tex, wrap_u=True, wrap_v=True)
+                scene["texture_quad"] = jnp.asarray(tquad)
                 scene["tex_h"], scene["tex_w"] = tex.shape[0], tex.shape[1]
+                if (envmap is not None and settings.env_importance_sampling
+                        and settings.use_texture):
+                    # merged env+texture gather target: one per-wave gather
+                    # replaces two (wavefront.pack_envtex_quad)
+                    from .wavefront import pack_envtex_quad
+                    scene["envtex_quad"] = jnp.asarray(
+                        pack_envtex_quad(equad, tquad))
         self.scene = scene
 
         n_pixels = self.width * self.height

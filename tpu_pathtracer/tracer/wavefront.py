@@ -376,6 +376,89 @@ def texture_radiance(scene, hit_uv):
                                scene["tex_w"], hit_uv[:, 0], hit_uv[:, 1])
 
 
+def pack_envtex_quad(env_quad16, tex_quad12):
+    """Concatenate the 16-col env quad table and the (zero-padded) 12-col
+    texture quad table into ONE gather target. A pool lane is either a
+    MISS (env fetch) or a SURFACE hit (texture fetch) — the two full-width
+    per-wave gathers are mutually exclusive per lane, and a 1M-idx gather
+    costs the same on the merged 196k-row table as on either source table
+    alone (13.3 vs 13.7/13.5 ms per 1M random idx on v5e,
+    tools/probe_gmerge.py) — so merging halves the env+texture gather
+    cost outright. Env rows come first; texture row r sits at
+    env_h*env_w + r."""
+    import numpy as np
+    e = np.asarray(env_quad16, np.float32)
+    t = np.asarray(tex_quad12, np.float32)
+    out = np.zeros((e.shape[0] + t.shape[0], 16), np.float32)
+    out[:e.shape[0]] = e
+    out[e.shape[0]:, :12] = t
+    return out
+
+
+def env_tex_merged(scene, settings: RenderSettings, raydir, bsdf_pdf,
+                   env_rotation, miss, hit_uv):
+    """MIS-weighted env-miss radiance AND texture radiance from ONE gather
+    on the merged envtex_quad table (see pack_envtex_quad).
+
+    Returns (env_weighted_L [N,3], tex_rgb [N,3]) with values bit-identical
+    to env_miss_weighted / texture_radiance: the per-lane interpolation
+    math is the same op sequence, only the row SOURCE is merged (a miss
+    lane's row holds the env quad, any other lane's the texture quad; each
+    consumer is already masked to its own lane class). Requires envmap
+    importance sampling (the 16-col env rows carry pdf_uv in cols 12:16)."""
+    from ..scene.texture import _uv_from_dir
+    from .envsample import power_heuristic
+    He, We = scene["env_h"], scene["env_w"]
+    Ht, Wt = scene["tex_h"], scene["tex_w"]
+    KE = He * We
+    # env indexing (clamp) — the sample_envmap_quad_pdf address math
+    u_e, v_e = _uv_from_dir(raydir, env_rotation)
+    xe = u_e * We - 0.5
+    ye = v_e * He - 0.5
+    xe0 = jnp.floor(xe)
+    ye0 = jnp.floor(ye)
+    fxe = (xe - xe0)[..., None]
+    fye = (ye - ye0)[..., None]
+    xe0i = jnp.clip(xe0.astype(jnp.int32), 0, We - 1)
+    ye0i = jnp.clip(ye0.astype(jnp.int32), 0, He - 1)
+    env_row = ye0i * We + xe0i
+    # texture indexing (wrap) — the sample_texture_quad address math.
+    # Miss lanes can carry non-finite hit_uv (hitpoint at t=RAY_MAX); their
+    # int casts are backend-defined but finite, the mod keeps the row in
+    # range, and the where() below never selects it.
+    u_t = jnp.mod(hit_uv[:, 0], 1.0)
+    v_t = jnp.mod(hit_uv[:, 1], 1.0)
+    xt = u_t * Wt - 0.5
+    yt = v_t * Ht - 0.5
+    xt0 = jnp.floor(xt)
+    yt0 = jnp.floor(yt)
+    fxt = (xt - xt0)[..., None]
+    fyt = (yt - yt0)[..., None]
+    xt0i = jnp.mod(xt0.astype(jnp.int32), Wt)
+    yt0i = jnp.mod(yt0.astype(jnp.int32), Ht)
+    tex_row = KE + yt0i * Wt + xt0i
+
+    q = jnp.take(scene["envtex_quad"], jnp.where(miss, env_row, tex_row),
+                 axis=0)                                   # [N,16]
+    L = (q[..., 0:3] * (1 - fxe) * (1 - fye) + q[..., 3:6] * fxe * (1 - fye)
+         + q[..., 6:9] * (1 - fxe) * fye + q[..., 9:12] * fxe * fye)
+    sx = jnp.clip((u_e * We).astype(jnp.int32) - xe0i, 0, 1)
+    sy = jnp.clip((v_e * He).astype(jnp.int32) - ye0i, 0, 1)
+    p00, p01 = q[..., 12], q[..., 13]
+    p10, p11 = q[..., 14], q[..., 15]
+    p_uv = jnp.where(sy == 0, jnp.where(sx == 0, p00, p01),
+                     jnp.where(sx == 0, p10, p11))
+    y = raydir[:, 1]
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - y * y, 1e-8))
+    pdf_e = p_uv / (2.0 * PI * PI * sin_t)
+    w = jnp.where(bsdf_pdf < 0.0, 1.0, power_heuristic(bsdf_pdf, pdf_e))
+    env_L = w[:, None] * L
+    tex_L = (q[..., 0:3] * (1 - fxt) * (1 - fyt)
+             + q[..., 3:6] * fxt * (1 - fyt)
+             + q[..., 6:9] * (1 - fxt) * fyt + q[..., 9:12] * fxt * fyt)
+    return env_L, tex_L
+
+
 def shade(scene, settings, rng, raydir, n, nl, into, mat, objcol):
     """Evaluate all material branches and select by refltype.
 
