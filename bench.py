@@ -508,28 +508,38 @@ def main():
         lg_sd = lg_parts[0].max_depth + 2
         lg["table_mb_large_scene"] = round(lg_packed.shape[0] * 14 * 4 / 1e6,
                                            2)
-        # on-device correctness gate at this scale (the large-table kernel
-        # is a distinct Mosaic specialization)
+        # on-device correctness gates at this scale: the large-table
+        # kernel is a distinct Mosaic specialization per config — gate
+        # BOTH the integrator default shape and the (16,4)+queue coherent
+        # config the traversal axis measures
         lg_bt, _ = brute_force_intersect(_lg_mesh.tri_vertices(), co, cd,
                                          RAY_MIN, RAY_MAX)
-        lgs, _t_ = packet_intersect(lg_packed, jnp.asarray(co),
-                                    jnp.asarray(cd), RAY_MIN, RAY_MAX,
-                                    stack_depth=lg_sd, tile_sub=_d_cfg[0],
-                                    interleave=_d_cfg[1], queue_k=_d_qk)
-        lgs = np.asarray(lgs)
-        lg_ours = np.where(lgs >= 0, lg_parts[0].tri_orig[np.maximum(lgs, 0)],
-                           -1)
-        lg_agree = float((lg_ours == lg_bt).mean())
-        assert lg_agree > 0.999, (
-            "large-scene kernel wrong on device: %.4f agreement" % lg_agree)
+        for lg_cfg in (_d_cfg + (_d_qk,), (16, 4, _d_qk)):
+            lgs, _t_ = packet_intersect(lg_packed, jnp.asarray(co),
+                                        jnp.asarray(cd), RAY_MIN, RAY_MAX,
+                                        stack_depth=lg_sd,
+                                        tile_sub=lg_cfg[0],
+                                        interleave=lg_cfg[1],
+                                        queue_k=lg_cfg[2])
+            lgs = np.asarray(lgs)
+            lg_ours = np.where(lgs >= 0,
+                               lg_parts[0].tri_orig[np.maximum(lgs, 0)], -1)
+            lg_agree = float((lg_ours == lg_bt).mean())
+            assert lg_agree > 0.999, (
+                "large-scene kernel (%d,%d,q%d) wrong on device: %.4f"
+                % (lg_cfg + (lg_agree,)))
 
-        # coherent-primary traversal rate on the large table
+        # coherent-primary traversal rate on the large table. The
+        # work-queue kernel is the production config and the structural
+        # fix for this scene's heavy straggler tail (fixed grouping pays
+        # +230% joint-max tax at p95 622 steps/packet vs +6% queued —
+        # round-5 census, tools/sweep_large.py): 42.9 -> 70.4 Mrays/s.
         def lg_chain(o, d, M):
             def body(i, carry):
                 tm = RAY_MIN * (1.0 + 1e-7 * i.astype(jnp.float32))
                 s, t = packet_intersect(lg_packed, o, d, tm, RAY_MAX,
                                         stack_depth=lg_sd, tile_sub=16,
-                                        interleave=4)
+                                        interleave=4, queue_k=_d_qk)
                 return carry + t[::65536].sum()
             return jax.lax.fori_loop(0, M, body, jnp.float32(0.0))
 
@@ -553,8 +563,88 @@ def main():
         lg["ms_per_frame_1spp_large_scene"] = round(lg_ms, 1)
         lg["render_mrays_per_sec_large_scene"] = round(
             lg_rays / (lg_ms / 1e3) / 1e6, 3)
+
+        # incoherent-traversal-at-scale axis (VERDICT r04 #5): freeze the
+        # real regen pool after 3 waves on the large scene and chain-trace
+        # exactly that population with the integrator's packet config —
+        # the large-scene analog of midframe_mrays_per_sec
+        lg_r = Renderer(*lg_parts[:2], envmap=lg_parts[2],
+                        texture=lg_parts[3], width=1024, height=1024)
+        lg_mf_fn = jax.jit(
+            make_regen_integrator(lg_r.settings, 1024, 1024,
+                                  stop_after_waves=3),
+            static_argnames=("n_frames",))
+        lg_pool = lg_mf_fn(lg_r.scene, cam_vec, jnp.uint32(1),
+                           jnp.uint32(0), lg_r.zeros_accum(), n_frames=4)
+        lg_mo = jnp.asarray(np.asarray(lg_pool["orig"]))
+        lg_md = jnp.asarray(np.asarray(lg_pool["dir"]))
+
+        def lg_mf_chain(o, d, M):
+            def body(i, carry):
+                tm = RAY_MIN * (1.0 + 1e-7 * i.astype(jnp.float32))
+                s, t = packet_intersect(lg_packed, o, d, tm, RAY_MAX,
+                                        stack_depth=lg_sd,
+                                        tile_sub=_d_cfg[0],
+                                        interleave=_d_cfg[1],
+                                        queue_k=_d_qk)
+                return carry + t[::65536].sum()
+            return jax.lax.fori_loop(0, M, body, jnp.float32(0.0))
+
+        def lg_mf_run(M):
+            g = jax.jit(lambda o_, d_: lg_mf_chain(o_, d_, M))
+            box = {}
+
+            def fn():
+                box["r"] = g(lg_mo, lg_md)
+
+            def sync():
+                _ = np.asarray(box["r"])
+            return _median_time(fn, sync, reps=3)
+
+        lg_mf_dt = max((lg_mf_run(16) - lg_mf_run(4)) / 12.0, 1e-9)
+        lg["midframe_mrays_per_sec_large_scene"] = round(
+            lg_mo.shape[0] / lg_mf_dt / 1e6, 2)
     except Exception as e:              # an extra axis, not a gate
         lg["large_scene_error"] = str(e)[:160]
+
+    # ---- media/BSSRDF at reference scale, irregular geometry (V r04 #5) ----
+    # the ~104k-tri organic blob (head.ply-class): 1-spp frame axes + an
+    # on-device RMSE gate vs the CPU goldens (c6/c7 — same files the CPU
+    # suite pins), same thresholds as the small-scene media/sss gates
+    for _oname, _ovar, _okey in (
+            ("c6_organic_sss", "sss", "ms_per_frame_1spp_sss_large_scene"),
+            ("c7_organic_media", "media",
+             "ms_per_frame_1spp_media_large_scene")):
+        try:
+            from tpu_pathtracer.scene.demo import large_organic_scene
+            _oparts = large_organic_scene(cache_dir=".bvh_cache",
+                                          variant=_ovar)
+            _ofile = _os.path.join(_os.path.dirname(_gp), "goldens",
+                                   _oname + ".npz")
+            if _os.path.exists(_ofile):
+                _ofb, _omats, _oenv, _otex, _ost, _oap = _gcfg[_oname]
+                _ost = _dc.replace(_ost, packet_tile_sub=32,
+                                   packet_interleave=4)
+                _img = _gm._render(_oname,
+                                   (_ofb, _omats, _oenv, _otex, _ost, _oap))
+                _want = np.load(_ofile)["img"]
+                _ormse = float(np.sqrt(np.mean((_img - _want) ** 2)))
+                assert np.all(np.isfinite(_img)), (
+                    "%s: non-finite on device" % _oname)
+                assert _ormse < 5e-3, (
+                    "%s diverges from CPU golden on device: RMSE %.4g"
+                    % (_oname, _ormse))
+                _omr = float(_img.mean()) / max(float(_want.mean()), 1e-9)
+                assert abs(_omr - 1.0) < 0.01, (
+                    "%s brightness drifts on device: ratio %.4f"
+                    % (_oname, _omr))
+            _oms, _, _ = frame_cost(1024, 1024, reps=3, frames=(1, 5),
+                                    parts=_oparts)
+            lg[_okey] = round(_oms, 1)
+        except AssertionError:
+            raise                        # the gate IS a gate
+        except Exception as e:           # the axis is an extra
+            lg[_okey] = "error: " + str(e)[:100]
 
     # ---------- per-stage frame cost from the device profiler ----------
     # jax.profiler records TPU-side per-op durations through the relay;
@@ -585,25 +675,41 @@ def main():
         ops, meta = profile_marginal(run_b, frames=(1, 9))
         # one swizzled accum plane = ceil(N/1024)*1024 rows (regen.py)
         cats = categorize(ops, meta,
-                          plane_rows=((1024 * 1024 + 1023) // 1024) * 1024)
+                          plane_rows=((1024 * 1024 + 1023) // 1024) * 1024,
+                          pool_rows=pool_rows)
         breakdown = {k: round(v, 2) for k, v in sorted(cats.items())}
     except Exception as e:            # profiler is an extra, not a gate
         breakdown = {"error": str(e)[:120]}
 
     # ---------- roofline: compose measured primitives into a floor ----------
-    # Per-wave floor = rays/wave at the standalone incoherent kernel rate
-    # (the trace envelope) + the pool-state gather + the image scatter at
-    # their standalone memory rates. Respawn/shade/env floors are omitted
-    # (not provably irreducible) — the floor is strictly optimistic.
+    # Per-wave floor = rays/wave at the mid-frame incoherent kernel rate
+    # (the trace envelope) + the pool-state permute at its IN-SITU marginal
+    # + the image scatter at its standalone memory rate. Round-4's floor
+    # charged the permute at the 21.5 ms STANDALONE 13-col gather rate; the
+    # in-situ marginal is ~3.3x cheaper (XLA overlaps the gather with
+    # neighboring work), so that floor was pessimistic and the envelope
+    # low (VERDICT r04 #3) — the permute term now comes from the device
+    # profiler's 'permute_gather' bucket (same-run, per wave), falling
+    # back to the standalone rate only if the profiler failed.
+    # Respawn/shade/env floors are omitted (not provably irreducible) —
+    # the floor is strictly optimistic.
     rays_per_wave_hd = rays_hd / max(waves_hd, 1.0)
     trace_floor_ms = rays_per_wave_hd / (midframe_mrays * 1e3)
+    permute_wave_ms = g_ms
+    permute_src = "standalone 13-col gather rate (profiler unavailable)"
+    if "permute_gather" in breakdown:
+        # per-frame bucket at 1024^2 / waves-per-frame = per-wave in-situ
+        # marginal; the pool is 1M lanes at BOTH 1024^2 and 1080p (capped),
+        # so the per-wave cost transfers directly
+        permute_wave_ms = breakdown["permute_gather"] / max(waves_sq, 1.0)
+        permute_src = "in-situ profiler marginal"
     # scatter floor: every path dies exactly once, so image accumulation
     # needs >= one scattered index per sample (the ring flush approaches
     # this at ~1.14x; s_ms is the measured cost of pool_rows indices x3
     # channels) — N_hd samples per 1-spp frame, amortized per wave
     n_hd = 1920 * 1080
     scatter_floor_wave_ms = s_ms * (n_hd / pool_rows) / max(waves_hd, 1.0)
-    wave_floor_ms = trace_floor_ms + g_ms + scatter_floor_wave_ms
+    wave_floor_ms = trace_floor_ms + permute_wave_ms + scatter_floor_wave_ms
     frame_floor_hd = waves_hd * wave_floor_ms
     pct_of_floor = frame_floor_hd / ms_hd
     envelope_mrays = rays_hd / frame_floor_hd / 1e3
@@ -635,6 +741,8 @@ def main():
         "frame_breakdown_ms": breakdown,    # per FRAME at 1024^2, profiler
         "pool_gather13_floor_ms": round(g_ms, 2),      # 13-col 1M-row gather
         "image_scatter3_floor_ms": round(s_ms, 2),     # 3x 1-d scatter-add
+        "permute_wave_ms": round(permute_wave_ms, 2),
+        "permute_floor_source": permute_src,
         "frame_floor_ms_1080p": round(frame_floor_hd, 1),
         "pct_of_floor_1080p": round(pct_of_floor, 3),
         "envelope_mrays_per_sec": round(envelope_mrays, 2),

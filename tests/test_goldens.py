@@ -15,6 +15,10 @@ import pytest
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=1)
 def _configs():
     from tpu_pathtracer.scene import procedural, MatDesc
     from tpu_pathtracer.scene.config import (
@@ -53,6 +57,16 @@ def _configs():
              MatDesc(refltype=MAT_GLASS),
              MatDesc(refltype=MAT_REFL)]
 
+    # configs 6/7: media + BSSRDF at REFERENCE scale on irregular geometry
+    # (the head.ply-class ~104k-tri organic blob; VERDICT r04 #5 — all
+    # prior media/sss evidence was on ~4k-tri scenes). The goldens pin the
+    # CPU result; bench.py gates the TPU render against them on device.
+    from tpu_pathtracer.scene.demo import large_organic_scene
+    fb6, mats6, env6, tex6 = large_organic_scene(
+        cache_dir=".bvh_cache_tests", variant="sss")
+    fb7, mats7, env7, tex7 = large_organic_scene(
+        cache_dir=".bvh_cache_tests", variant="media")
+
     base = dict(use_envmap=True, use_texture=True)
     return {
         "c1_lambertian": (fb, mats1, envmap, texture,
@@ -70,6 +84,12 @@ def _configs():
         "c5_bssrdf": (fb, mats5, envmap, texture,
                       RenderSettings(bounce_min=3, bounce_max=10,
                                      has_bssrdf=True, **base), 0.0),
+        "c6_organic_sss": (fb6, mats6, env6, tex6,
+                           RenderSettings(bounce_min=3, bounce_max=10,
+                                          has_bssrdf=True, **base), 0.0),
+        "c7_organic_media": (fb7, mats7, env7, tex7,
+                             RenderSettings(bounce_min=2, bounce_max=10,
+                                            has_media=True, **base), 0.0),
     }
 
 
@@ -87,7 +107,11 @@ def _render(name, spec, spp=12, size=96):
     return r.accum_to_buffer(np.asarray(accum) / spp)
 
 
-@pytest.mark.parametrize("name", list(_configs().keys()))
+_NAMES = ["c1_lambertian", "c2_microfacet", "c3_glass_dof", "c4_media",
+          "c5_bssrdf", "c6_organic_sss", "c7_organic_media"]
+
+
+@pytest.mark.parametrize("name", _NAMES)
 def test_golden(name):
     path = os.path.join(GOLDEN_DIR, name + ".npz")
     if not os.path.exists(path):
@@ -102,6 +126,11 @@ def test_golden(name):
 
 if __name__ == "__main__":
     import sys
+    # goldens are CPU-pinned by definition — force the platform HERE so a
+    # bare `python tests/test_goldens.py regen` can't silently grab the
+    # TPU (outside pytest, conftest's CPU pin does not apply)
+    import jax
+    jax.config.update("jax_platforms", "cpu")
     if len(sys.argv) > 1 and sys.argv[1] == "regen":
         os.makedirs(GOLDEN_DIR, exist_ok=True)
         for name, spec in _configs().items():

@@ -178,6 +178,11 @@ def main():
     ap.add_argument("--cache-dir", default=".bvh_cache")
     ap.add_argument("--batch", type=int, default=4,
                     help="samples per device dispatch")
+    ap.add_argument("--preview-div", type=int, default=2,
+                    help="moving-camera preview downscale (2 = half-res, "
+                         "4 = quarter-res; the interactivity ladder — "
+                         "quarter-res buys ~4x the moving fps at a 1080p "
+                         "window on one chip)")
     ap.add_argument("--compile-cache-dir", default=".jax_cache",
                     help="persistent XLA compile cache ('' disables)")
     args = ap.parse_args()
@@ -209,17 +214,20 @@ def main():
         icam = InteractiveCamera.load_cam(args.cam)
         icam.set_resolution(W, H)
 
-    # half-res preview renderer: while the camera is moving we trade
+    # downscaled preview renderer: while the camera is moving we trade
     # resolution for latency (the reference keeps full res and simply
-    # drops to low accumulation; at TPU dispatch latencies half-res is
-    # the better interactivity tradeoff — measured 28 ms/frame at 256^2
-    # vs 99 ms at 512^2 on v5e). Shares the full renderer's device
-    # scene arrays (base_scene) — only the lane tables differ. Enabled
-    # only when the upscale is exact (even W/H), else moving frames
-    # simply render at full res.
+    # drops to low accumulation; at TPU dispatch latencies a reduced-res
+    # preview is the better interactivity tradeoff — measured 28 ms/frame
+    # at 256^2 vs 99 ms at 512^2 on v5e; at a 1080p window the ladder is
+    # half-res 2.1 fps / quarter-res ~4x that, tools/probe_viewer.py).
+    # Shares the full renderer's device scene arrays (base_scene) — only
+    # the lane tables differ. Enabled only when the upscale is exact,
+    # else moving frames simply render at full res.
     renderer_lo = None
-    if W % 2 == 0 and H % 2 == 0 and W >= 64 and H >= 64:
-        Wl, Hl = W // 2, H // 2
+    div = max(1, args.preview_div)
+    if div > 1 and W % div == 0 and H % div == 0 and W >= 32 * div \
+            and H >= 32 * div:
+        Wl, Hl = W // div, H // div
         renderer_lo = Renderer(fb, mats, envmap=envmap, texture=texture,
                                width=Wl, height=Hl, settings=settings,
                                base_scene=renderer.scene)

@@ -57,6 +57,18 @@ def main():
     print("preview %dx%d      %7.1f ms/frame (%.1f fps)"
           % (W // 2, H // 2, ms_prev, 1e3 / ms_prev), flush=True)
 
+    # quarter/eighth-res rungs of the moving-camera ladder (VERDICT r04
+    # #8: what does one chip buy at a 1080p window if the preview drops
+    # further while the camera moves?)
+    for div in (4, 8):
+        r_q = Renderer(fb, mats, envmap=envmap, texture=texture,
+                       width=W // div, height=H // div, base_scene=r.scene)
+        rc_q = default_camera(W // div, H // div).build_render_camera()
+        acc_q = r_q.zeros_accum()
+        ms_q = time_calls(lambda: r_q.render_frame(acc_q, rc_q, 1))
+        print("preview %dx%d      %7.1f ms/frame (%.1f fps)"
+              % (W // div, H // div, ms_q, 1e3 / ms_q), flush=True)
+
     acc = r.zeros_accum()
     ms_full = time_calls(lambda: r.render_frame(acc, rc, 1))
     print("full    %dx%d     %7.1f ms/frame (%.1f fps)"

@@ -43,6 +43,13 @@ def main():
     ap.add_argument("--census", action="store_true")
     ap.add_argument("--table-mem", default="auto",
                     help="auto/vmem/split/vmem_packed")
+    ap.add_argument("--unroll", type=int, default=1,
+                    help="dependent steps per while iteration")
+    ap.add_argument("--scene", default="large", choices=("large", "small"),
+                    help="large = 135k-tri reference-scale, small = 4.4k demo")
+    ap.add_argument("--gate", action="store_true",
+                    help="on-device oracle gate for this kernel config "
+                         "(512-ray brute-force agreement) before measuring")
     ap.add_argument("--incoherent", action="store_true",
                     help="also chain-trace a scrambled (incoherent) set")
     ap.add_argument("--midframe", action="store_true",
@@ -67,7 +74,8 @@ def main():
     from tpu_pathtracer.core.rng import RaySampler, wang_hash
     from tpu_pathtracer.core.vecmath import RAY_MIN, RAY_MAX
 
-    mesh = procedural.make_large_scene()
+    mesh = (procedural.make_large_scene() if args.scene == "large"
+            else procedural.make_test_scene())
     print("mesh: %d tris" % mesh.indices.shape[0], flush=True)
 
     variants = {
@@ -152,6 +160,28 @@ def main():
                 orig_i = jnp.asarray(np.asarray(orig)[perm])
                 raydir_i = jnp.asarray(np.asarray(raydir)[perm])
 
+        if args.gate:
+            from tpu_pathtracer.tracer.traverse import brute_force_intersect
+            grng = np.random.default_rng(0)
+            ng = 512
+            gco = grng.uniform(-3, 3, (ng, 3)).astype(np.float32)
+            gco[:, 1] = grng.uniform(0.3, 3, ng)
+            gcd = grng.normal(size=(ng, 3)).astype(np.float32)
+            gcd /= np.linalg.norm(gcd, axis=-1, keepdims=True)
+            gbt, _ = brute_force_intersect(mesh.tri_vertices(), gco, gcd,
+                                           RAY_MIN, RAY_MAX)
+            gs, _gt = packet_intersect(
+                packed, jnp.asarray(gco), jnp.asarray(gcd), RAY_MIN,
+                RAY_MAX, stack_depth=sd, tile_sub=args.sub,
+                interleave=args.il, queue_k=args.queue,
+                table_mem=args.table_mem, step_unroll=args.unroll)
+            gs = np.asarray(gs)
+            gours = np.where(gs >= 0, fb.tri_orig[np.maximum(gs, 0)], -1)
+            gagree = float((gours == gbt).mean())
+            assert gagree > 0.999, (
+                "kernel config wrong on device: %.4f agreement" % gagree)
+            print("%s: device gate OK (%.4f)" % (name, gagree), flush=True)
+
         def chain(o, d, M):
             def body(i, carry):
                 tm = RAY_MIN * (1.0 + 1e-7 * i.astype(jnp.float32))
@@ -159,6 +189,7 @@ def main():
                                         stack_depth=sd, tile_sub=args.sub,
                                         interleave=args.il,
                                         table_mem=args.table_mem,
+                                        step_unroll=args.unroll,
                                         queue_k=args.queue)
                 return carry + t[::65536].sum()
             return jax.lax.fori_loop(0, M, body, jnp.float32(0.0))
@@ -178,7 +209,8 @@ def main():
             s_, t_, nst = packet_intersect(
                 packed, orig, raydir, RAY_MIN, RAY_MAX, stack_depth=sd,
                 tile_sub=args.sub, interleave=args.il, queue_k=args.queue,
-                table_mem=args.table_mem, count_steps=True)
+                table_mem=args.table_mem, step_unroll=args.unroll,
+                count_steps=True)
             per_pkt = np.asarray(nst).reshape(-1, args.sub * 128)[:, 0]
             tot = int(per_pkt.sum())
             # PAID steps: the while-loop runs until the instance's joint
@@ -224,7 +256,8 @@ def main():
             s_, t_, nst = packet_intersect(
                 packed, mo, md, RAY_MIN, RAY_MAX, stack_depth=sd,
                 tile_sub=args.sub, interleave=args.il, queue_k=args.queue,
-                table_mem=args.table_mem, count_steps=True)
+                table_mem=args.table_mem, step_unroll=args.unroll,
+                count_steps=True)
             per_pkt = np.asarray(nst).reshape(-1, args.sub * 128)[:, 0]
             tot = int(per_pkt.sum())
             if args.queue > args.il:
@@ -247,7 +280,9 @@ def main():
             print(line2, flush=True)
 
         if args.frame:
-            fn = jax.jit(make_regen_integrator(r.settings, W, H),
+            import dataclasses as _dc
+            _fst = _dc.replace(r.settings, packet_step_unroll=args.unroll)
+            fn = jax.jit(make_regen_integrator(_fst, W, H),
                          static_argnames=("n_frames",))
             accum = r.zeros_accum()
 

@@ -338,7 +338,8 @@ def make_regen_integrator(settings: RenderSettings, width, height,
             # the texture fetch share that one gather (a lane is either a
             # miss or a surface hit — wavefront.env_tex_merged; measured
             # 13.3 vs 26.9 ms per 1M idx for the two separate gathers).
-            merged_et = (settings.use_texture and settings.use_envmap
+            merged_et = (settings.merge_envtex and settings.use_texture
+                         and settings.use_envmap
                          and settings.env_importance_sampling
                          and "envtex_quad" in scene)
             if merged_et:

@@ -64,13 +64,18 @@ def profile_marginal(run, frames=(1, 5), logdir_base="/tmp/jaxprof_bench"):
     return ops, mhi
 
 
-def categorize(ops, meta, plane_rows=None):
+def categorize(ops, meta, plane_rows=None, pool_rows=None):
     """Roll per-op marginal costs into stable wave-stage categories.
     plane_rows: rows of ONE swizzled accum channel plane (ceil(N/1024)*
     1024 — see regen.py); identifies the image scatter-adds, which are
     the only custom fusions whose OUTPUT is a bare 1-D f32[plane_rows]
     (ring-drain rungs and the full-pool fallback; gathers emit 2-D
-    (N, C) outputs). None disables that bucket."""
+    (N, C) outputs). None disables that bucket.
+    pool_rows: regen pool width; splits the compaction-permute pmat
+    gather (its OPERAND is the f32[pool_rows,16] pool matrix) out of the
+    scene-table gathers into its own 'permute_gather' bucket — the
+    roofline composes the permute at this IN-SITU marginal rather than
+    the 3.3x-pessimistic standalone rate (VERDICT r04 #3)."""
     acc_tag = "= f32[%d]{" % plane_rows if plane_rows else None
     buckets = collections.Counter()
     for n, ms in ops.items():
@@ -83,6 +88,7 @@ def categorize(ops, meta, plane_rows=None):
         # output shape sits between "= " and the opening "fusion(";
         # operand shapes (which may repeat the accum shape) come after
         out_part = ln.split("fusion(")[0] if "fusion(" in ln else ln[:80]
+        opnd_part = ln.split("fusion(")[1] if "fusion(" in ln else ""
         if cat == "custom-call":
             buckets["trace"] += ms
         elif acc_tag and cat == "custom fusion" and acc_tag in out_part:
@@ -95,8 +101,19 @@ def categorize(ops, meta, plane_rows=None):
             buckets["layout_copies"] += ms
         elif cat == "custom fusion":
             # kCustom fusions other than scatter are the per-lane table
-            # gathers (permute pmat, tri_attr, env alias/quad, texture)
-            buckets["gathers"] += ms
+            # gathers. Split the compaction permute from the scene-table
+            # chains: a SCENE gather reads a table with fewer rows than
+            # half the pool (envtex 196k, attr ~6k, alias 16k), while the
+            # permute's operands are all pool-sized (the (P,16) pmat, or
+            # the 13 pool-width pieces when the concat fuses in).
+            import re as _re
+            small = any(int(a) < pool_rows // 2
+                        for a in _re.findall(r"f32\[(\d+),\d+\]", opnd_part)
+                        ) if pool_rows else True
+            if pool_rows and not small:
+                buckets["permute_gather"] += ms
+            else:
+                buckets["gathers"] += ms
         else:
             buckets["other"] += ms
     return dict(buckets)
