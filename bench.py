@@ -28,7 +28,8 @@ actually pays for (measured ~3x harder than the synthetic one);
 per-frame cost by category (5-vs-1-frame marginal diff of TPU-side op
 durations; replaced the dup-stage estimates, which mispriced the
 scatter 5x — ARCHITECTURE.md); `frame_floor_ms_1080p` composes the
-measured primitives (mid-frame trace rate + 13-col pool gather + one
+measured primitives (mid-frame trace rate + the pool permute at its
+IN-SITU marginal from the profiler's permute_gather bucket + one
 image-scatter index per path death — the ring flush's irreducible
 minimum) into a floor for a 1-spp 1080p frame, and
 `pct_of_floor_1080p` says how close the frame is to it.
@@ -623,7 +624,10 @@ def main():
                                    _oname + ".npz")
             if _os.path.exists(_ofile):
                 _ofb, _omats, _oenv, _otex, _ost, _oap = _gcfg[_oname]
-                _ost = _dc.replace(_ost, packet_tile_sub=32,
+                # the large-table workload-class shape (renderer.py
+                # derives (16,4) when the packed table overflows SMEM;
+                # the (32,4)+plain-vmem block does not compile at scale)
+                _ost = _dc.replace(_ost, packet_tile_sub=16,
                                    packet_interleave=4)
                 _img = _gm._render(_oname,
                                    (_ofb, _omats, _oenv, _otex, _ost, _oap))

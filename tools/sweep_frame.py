@@ -45,6 +45,10 @@ def main():
     if args.demo == "large":
         from tpu_pathtracer.scene.demo import large_scene
         fb, mats, envmap, texture = large_scene(cache_dir=".bvh_cache")
+    elif args.demo in ("organic_sss", "organic_media"):
+        from tpu_pathtracer.scene.demo import large_organic_scene
+        fb, mats, envmap, texture = large_organic_scene(
+            cache_dir=".bvh_cache", variant=args.demo.split("_")[1])
     else:
         fb, mats, envmap, texture = testobj_scene(cache_dir=".bvh_cache",
                                                   variant=args.demo)

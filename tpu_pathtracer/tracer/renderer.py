@@ -164,6 +164,20 @@ class Renderer:
             if has_media or has_bssrdf:
                 settings = dataclasses.replace(
                     settings, packet_tile_sub=32, packet_interleave=4)
+            # Reference-asset-scale scenes (packed table over the SMEM
+            # budget -> the VMEM extraction path, ~2x the per-step cost)
+            # derive (16,4) REGARDLESS of workload class: the fatter
+            # packet amortizes the expensive step over more lanes, and
+            # every round-5 in-situ A/B picked it — large surface 1221.3
+            # ms/frame vs (8,8) 1276.5; organic media 7125.9 vs (8,8)
+            # 7405.6 and (32,4)+packed 7368.1; organic sss 2729.3 vs
+            # (32,4)+packed 3026.2 (the plain-VMEM (32,4) block does not
+            # compile at this table size — remote Mosaic 500).
+            from ..ops.traverse_packet import _SMEM_TABLE_BUDGET_BYTES
+            # packed stream: one 14-col f32 row per prims row
+            if flat_bvh.prims.shape[0] * 14 * 4 > _SMEM_TABLE_BUDGET_BYTES:
+                settings = dataclasses.replace(
+                    settings, packet_tile_sub=16, packet_interleave=4)
         # stack depth only needs the tree's actual depth
         settings = dataclasses.replace(
             settings, stack_depth=min(settings.stack_depth,
