@@ -279,3 +279,67 @@ def test_sort_permute_bit_identical():
             imgs[pm] = np.asarray(
                 r.render_frames(r.zeros_accum(), rc, 1, 2))
         assert np.array_equal(imgs["gather"], imgs["sort"]), str(extra)
+
+
+def test_merged_envtex_gather_bit_identical(tmp_path):
+    """The merged env+texture gather (wavefront.env_tex_merged, round 5)
+    must be BIT-identical to the two separate full-width gathers: same
+    rows, same interpolation op sequence, only the gather source merged."""
+    mesh = procedural.make_test_scene()
+    fb = load_or_build(mesh, cache_dir=str(tmp_path))
+    mats = [MatDesc(refltype=MAT_DIFF, useTexture=True),
+            MatDesc(refltype=MAT_FRESNEL, alphax=0.1, alphay=0.1,
+                    kd=5.0, ks=1.0),
+            MatDesc(refltype=MAT_GLASS),
+            MatDesc(refltype=MAT_REFL)]
+    env = procedural.make_sky_envmap(128, 64)
+    tex = procedural.make_checker_texture(64)
+    W = H = 48
+    rc = default_camera(W, H).build_render_camera()
+    out = {}
+    for merge in (True, False):
+        r = Renderer(fb, mats, envmap=env, texture=tex, width=W, height=H)
+        assert "envtex_quad" in r.scene
+        r2 = Renderer(fb, mats, envmap=env, texture=tex, width=W, height=H,
+                      base_scene=r.scene,
+                      settings=dataclasses.replace(r.settings,
+                                                   merge_envtex=merge))
+        out[merge] = np.asarray(r2.render_frames(r2.zeros_accum(), rc, 1, 2))
+    assert np.array_equal(out[True], out[False])
+    assert out[True].mean() > 0.0
+
+
+def test_unroll_interpret_equivalence(tmp_path):
+    """packet_step_unroll leaves results AND live step counts unchanged
+    (SENTINEL is a fixed point of the traversal step)."""
+    import jax.numpy as jnp
+    from tpu_pathtracer.tracer.traverse import pack_stream
+    from tpu_pathtracer.ops.traverse_packet import packet_intersect
+    from tpu_pathtracer.core.vecmath import RAY_MIN, RAY_MAX
+
+    mesh = procedural.make_test_scene()
+    fb = load_or_build(mesh, cache_dir=str(tmp_path))
+    packed = jnp.asarray(pack_stream(fb.prims, fb.meta))
+    rng = np.random.default_rng(3)
+    n = 512
+    co = rng.uniform(-3, 3, (n, 3)).astype(np.float32)
+    co[:, 1] = rng.uniform(0.3, 3, n)
+    cd = rng.normal(size=(n, 3)).astype(np.float32)
+    cd /= np.linalg.norm(cd, axis=-1, keepdims=True)
+    outs = {}
+    for u in (1, 3):
+        s, t, ns = packet_intersect(
+            jnp.asarray(packed), jnp.asarray(co), jnp.asarray(cd),
+            RAY_MIN, RAY_MAX, stack_depth=fb.max_depth + 2,
+            tile_sub=8, interleave=4, queue_k=64, step_unroll=u,
+            count_steps=True, interpret=True)
+        outs[u] = (np.asarray(s), np.asarray(t), int(np.asarray(ns)[0]))
+    assert np.array_equal(outs[1][0], outs[3][0])
+    assert np.array_equal(outs[1][1], outs[3][1])
+    assert outs[1][2] == outs[3][2]
+
+
+def test_unknown_variant_raises():
+    from tpu_pathtracer.scene.demo import testobj_scene
+    with pytest.raises(ValueError):
+        testobj_scene(variant="lambertain")   # typo must not render default
