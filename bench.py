@@ -602,14 +602,21 @@ def main():
         lg_mo = jnp.asarray(np.asarray(lg_pool["orig"]))
         lg_md = jnp.asarray(np.asarray(lg_pool["dir"]))
 
+        # traced at the config the large-scene INTEGRATOR actually runs
+        # (Renderer derives (16,4)+queue for over-SMEM tables), not the
+        # small-scene default shape
+        lg_shape = (lg_r.settings.packet_tile_sub,
+                    lg_r.settings.packet_interleave,
+                    lg_r.settings.packet_queue_k)
+
         def lg_mf_chain(o, d, M):
             def body(i, carry):
                 tm = RAY_MIN * (1.0 + 1e-7 * i.astype(jnp.float32))
                 s, t = packet_intersect(lg_packed, o, d, tm, RAY_MAX,
                                         stack_depth=lg_sd,
-                                        tile_sub=_d_cfg[0],
-                                        interleave=_d_cfg[1],
-                                        queue_k=_d_qk)
+                                        tile_sub=lg_shape[0],
+                                        interleave=lg_shape[1],
+                                        queue_k=lg_shape[2])
                 return carry + t[::65536].sum()
             return jax.lax.fori_loop(0, M, body, jnp.float32(0.0))
 
@@ -639,13 +646,14 @@ def main():
             ("c7_organic_media", "media",
              "ms_per_frame_1spp_media_large_scene")):
         try:
-            from tpu_pathtracer.scene.demo import large_organic_scene
-            _oparts = large_organic_scene(cache_dir=".bvh_cache",
-                                          variant=_ovar)
+            # reuse the golden config's already-built scene parts (the
+            # ~105k-tri build + PLY round-trip would otherwise run twice
+            # per bench under two different cache dirs)
+            _ofb, _omats, _oenv, _otex, _ost, _oap = _gcfg[_oname]
+            _oparts = (_ofb, _omats, _oenv, _otex)
             _ofile = _os.path.join(_os.path.dirname(_gp), "goldens",
                                    _oname + ".npz")
             if _os.path.exists(_ofile):
-                _ofb, _omats, _oenv, _otex, _ost, _oap = _gcfg[_oname]
                 # the large-table workload-class shape (renderer.py
                 # derives (16,4) when the packed table overflows SMEM;
                 # the (32,4)+plain-vmem block does not compile at scale)

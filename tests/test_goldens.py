@@ -111,6 +111,12 @@ _NAMES = ["c1_lambertian", "c2_microfacet", "c3_glass_dof", "c4_media",
           "c5_bssrdf", "c6_organic_sss", "c7_organic_media"]
 
 
+def test_names_cover_all_configs():
+    # _NAMES is static so collection stays lazy; it must track _configs()
+    # or a newly added config would regen a golden nobody ever tests
+    assert set(_NAMES) == set(_configs().keys())
+
+
 @pytest.mark.parametrize("name", _NAMES)
 def test_golden(name):
     path = os.path.join(GOLDEN_DIR, name + ".npz")

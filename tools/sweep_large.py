@@ -219,14 +219,20 @@ def main():
             # packets onto il slots (LPT-free, arrival order) — simulate.
             if args.queue > args.il:
                 paid = 0
-                for blk in per_pkt.reshape(-1, args.queue):
+                pk = per_pkt
+                if pk.size % args.queue:        # pad the ragged tail block
+                    pk = np.pad(pk, (0, args.queue - pk.size % args.queue))
+                for blk in pk.reshape(-1, args.queue):
                     slots = np.zeros(args.il)
                     for s in blk:
                         k = np.argmin(slots)
                         slots[k] += s
                     paid += int(slots.max()) * args.il
             else:
-                gm = per_pkt.reshape(-1, args.il).max(axis=1)
+                pk = per_pkt
+                if pk.size % args.il:
+                    pk = np.pad(pk, (0, args.il - pk.size % args.il))
+                gm = pk.reshape(-1, args.il).max(axis=1)
                 paid = int(gm.sum()) * args.il
             line += ("; steps/packet p50 %d p95 %d max %d, live %.3fM, "
                      "paid %.3fM (tax %+.0f%%), %.0f ns/live-step, "
@@ -262,14 +268,20 @@ def main():
             tot = int(per_pkt.sum())
             if args.queue > args.il:
                 paid = 0
-                for blk in per_pkt.reshape(-1, args.queue):
+                pk = per_pkt
+                if pk.size % args.queue:        # pad the ragged tail block
+                    pk = np.pad(pk, (0, args.queue - pk.size % args.queue))
+                for blk in pk.reshape(-1, args.queue):
                     slots = np.zeros(args.il)
                     for s in blk:
                         k = np.argmin(slots)
                         slots[k] += s
                     paid += int(slots.max()) * args.il
             else:
-                gm = per_pkt.reshape(-1, args.il).max(axis=1)
+                pk = per_pkt
+                if pk.size % args.il:
+                    pk = np.pad(pk, (0, args.il - pk.size % args.il))
+                gm = pk.reshape(-1, args.il).max(axis=1)
                 paid = int(gm.sum()) * args.il
             line2 += ("; steps/pkt p50 %d p95 %d, live %.3fM, paid %.3fM "
                       "(tax %+.0f%%), %.0f ns/paid-step"

@@ -14,7 +14,11 @@ import numpy as np
 
 from .flatten import FlatBVH, flatten_mesh_bvh
 
-CACHE_VERSION = 4   # v4: BFS node-row order (split-table SMEM prefix)
+# v4: BFS node-row order (split-table SMEM prefix)
+# v5: native builder honors sah_triangle_cost — entries keyed with a
+#     non-default cost but built by the old cost-ignoring native builder
+#     must invalidate
+CACHE_VERSION = 5
 
 
 def _cache_key(mesh, platform, params):

@@ -738,6 +738,14 @@ def _queue_kernel(*refs, anyhit, stack_depth, interleave, sub, smem_table,
 _SMEM_TABLE_BUDGET_BYTES = 700_000
 
 
+def table_fits_smem(n_rows):
+    """True when a packed stream of n_rows 14-col f32 rows fits the SMEM
+    table budget — the single source of truth for both the kernel's
+    auto fallback here and the Renderer's large-table packet-shape
+    derivation (renderer.py), so the two cannot desynchronize."""
+    return n_rows * 14 * 4 <= _SMEM_TABLE_BUDGET_BYTES
+
+
 def packet_intersect(packed, orig, raydir, tmin, tmax, anyhit=False,
                      stack_depth=64, active=None, active_prefix=None,
                      tile_sub=8, interleave=4,
@@ -802,7 +810,7 @@ def packet_intersect(packed, orig, raydir, tmin, tmax, anyhit=False,
         # hot prefix in SMEM + full stream in VMEM — must be requested
         # explicitly until its on-device A/B lands)
         table_mem = ("smem" if not interpret
-                     and table_bytes <= _SMEM_TABLE_BUDGET_BYTES else "vmem")
+                     and table_fits_smem(K) else "vmem")
     if table_mem not in ("smem", "vmem", "split", "vmem_packed"):
         # a typo ("smem_split", "packed", ...) must not silently fall
         # through to the plain-VMEM kernel and publish its numbers
@@ -821,6 +829,11 @@ def packet_intersect(packed, orig, raydir, tmin, tmax, anyhit=False,
     queue = queue_k > interleave
     if queue and step_mode != "fused":
         raise ValueError("queue_k requires step_mode='fused'")
+    if step_unroll < 1:
+        # unroll=0 would compile a while-loop whose body returns the
+        # carry unchanged — an infinite device loop the user can only
+        # kill mid-execution (which crashes the remote worker)
+        raise ValueError("step_unroll must be >= 1, got %d" % step_unroll)
     pkts_per_tile = queue_k if queue else interleave
     T = tile_sub * LANES * pkts_per_tile
     n_tiles = -(-N // T)

@@ -156,11 +156,15 @@ def large_organic_scene(cache_dir=None, variant="sss", n_lat=160,
     if variant == "media":
         mats = [MatDesc(refltype=MAT_DIFF, useTexture=True),
                 MatDesc(refltype=MAT_GLASS, medium="jade")]
-    else:
+    elif variant == "sss":
         mats = [MatDesc(refltype=MAT_DIFF, useTexture=True),
                 MatDesc(refltype=MAT_SUBSURFACE, objcol=(0.85, 0.67, 0.55),
                         alphax=0.5, etaT=1.4, mfp=(0.25, 0.14, 0.10),
                         ks=0.2, F0=(0.04, 0.04, 0.04))]
+    else:
+        # a typo must not silently render the sss composition
+        raise ValueError("unknown large_organic_scene variant %r"
+                         % (variant,))
     envmap = procedural.make_sky_envmap()
     texture = procedural.make_checker_texture()
     return fb, mats, envmap, texture

@@ -347,9 +347,14 @@ def make_regen_integrator(settings: RenderSettings, width, height,
                                               bsdf_pdf, cam_vec[15],
                                               miss, hit_uv)
                 if settings.dup_stage in ("envmiss", "texture"):
+                    # perturb hit_uv (feeds the gather ROW computation)
+                    # so the duplicate's jnp.take is not CSE'd with the
+                    # real one — perturbing only bsdf_pdf would leave
+                    # identical gather indices and price ~0 for a stage
+                    # whose cost IS the gather
                     e2, t2 = env_tex_merged(scene, settings, raydir,
                                             bsdf_pdf + 1e-7, cam_vec[15],
-                                            miss, hit_uv)
+                                            miss, hit_uv + 1e-7)
                     env = env + 0.0 * e2
                     tex_rgb = tex_rgb + 0.0 * t2
             else:

@@ -173,9 +173,10 @@ class Renderer:
             # 7405.6 and (32,4)+packed 7368.1; organic sss 2729.3 vs
             # (32,4)+packed 3026.2 (the plain-VMEM (32,4) block does not
             # compile at this table size — remote Mosaic 500).
-            from ..ops.traverse_packet import _SMEM_TABLE_BUDGET_BYTES
-            # packed stream: one 14-col f32 row per prims row
-            if flat_bvh.prims.shape[0] * 14 * 4 > _SMEM_TABLE_BUDGET_BYTES:
+            from ..ops.traverse_packet import table_fits_smem
+            # packed stream: one row per prims row (traverse_packet's
+            # single source of truth for the byte formula/budget)
+            if not table_fits_smem(flat_bvh.prims.shape[0]):
                 settings = dataclasses.replace(
                     settings, packet_tile_sub=16, packet_interleave=4)
         # stack depth only needs the tree's actual depth
